@@ -1,0 +1,192 @@
+"""Deterministic synthetic fixtures (seed=42 everywhere; no network).
+
+Mirrors the reference's test inputs (FIXTURES.md):
+  * ``seeds``       — fund seed list (GetSpecialNeedCrawledFund analog,
+                      reference get_fund_by_web.py:48-59)
+  * ``page_bodies`` — synthetic HTML embedding the exact regex targets of
+                      the four cleaning strategies, incl. '--'/'---'
+                      sentinels, thousands separators, and anti-bot
+                      blank-200 bodies (http_request_downloader.py:109-111)
+  * ``images``      — image+caption payload rows per BASELINE.json
+                      input_hint, encoded with our ppm/bmp/dctq codecs
+  * ``hosts``       — politeness config (init 12 / cap cpu*5, mirrors
+                      rate_control.py:19,30)
+  * fault schedule  — deterministic failure injection for golden
+                      crawl-order tests
+
+All values are pure functions of (fund_code, page_type) so tests can
+compute expected parse output independently.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+FUND_TYPES = ["股票型", "债券型", "混合型", "指数型", "债券指数型", "QDII"]
+COMPANIES = ["华夏基金", "易方达基金", "南方基金", "天弘基金", "嘉实基金"]
+MANAGERS = ["张坤", "刘彦春", "葛兰", "谢治宇", "朱少醒", "傅鹏博"]
+
+
+def _h(code: str, salt: str = "") -> int:
+    return zlib.crc32(f"{salt}:{code}".encode("utf-8"))
+
+
+def seed_rows(n: int) -> list[tuple[str, str, int]]:
+    """(fund_code, fund_name, seed_index). Codes 6-digit zero-padded,
+    unique, deterministic."""
+    rows = []
+    for i in range(n):
+        code = f"{(100003 * (i + 1) + 7) % 1000000:06d}"
+        rows.append((code, f"基金{i:04d}号", i))
+    return rows
+
+
+# ------------------------------------------------------- expected fields
+
+
+def expected_fields(code: str) -> dict[str, str | None]:
+    """Ground-truth parse output for the synthetic body of ``code``."""
+    h = _h(code)
+    size_raw = f"{(h % 9000) + 1000:,}.{h % 100:02d}"  # thousands-separated
+    sharpe_missing = h % 7 == 0
+    inc3_missing = h % 5 == 0
+    inc5_missing = h % 11 == 0
+    appt = f"{2005 + h % 20}-{(h % 12) + 1:02d}-{(h % 28) + 1:02d}"
+    return {
+        "fund_type": FUND_TYPES[h % len(FUND_TYPES)],
+        "fund_size": size_raw.replace(",", ""),
+        "fund_company": COMPANIES[h % len(COMPANIES)],
+        "fund_value": f"{(h % 500) / 100 + 0.5:.4f}",
+        "fund_manager": MANAGERS[h % len(MANAGERS)],
+        "date_of_appointment": appt,
+        "stddev_3y": None if sharpe_missing else f"{(h % 3000) / 100:.2f}%",
+        "sharpe_3y": None if sharpe_missing else f"{((h % 600) - 100) / 100:.2f}",
+        "increase_3y": None if inc3_missing else f"{((h % 2000) - 500) / 10:.2f}%",
+        "increase_5y": None if inc5_missing else f"{((h % 3000) - 500) / 10:.2f}%",
+        "_size_raw": size_raw,
+    }
+
+
+def page_body(code: str, page_type: str) -> str:
+    """Synthetic page body embedding the reference regex targets."""
+    f = expected_fields(code)
+    if page_type == "OVERVIEW":
+        return (
+            f"<html><table><tr><th>基金类型</th><td>{f['fund_type']}</td></tr>"
+            f"<tr><th>发行日期</th><td>2001-01-01</td></tr>"
+            f"<tr><th>资产规模</th><td>{f['_size_raw']}亿元（截止至）</td></tr>"
+            f'<tr><th>基金管理人</th><td><a href="x">{f["fund_company"]}</a></td>'
+            f"<th>基金托管人</th></tr></table>"
+            f"<p>单位净值（2026-08-01）：{f['fund_value']} </p></html>"
+        )
+    if page_type == "MANAGER":
+        # date must directly follow the first '>' after 上任日期： (lazy
+        # [\s\S]+?> consumes exactly one tag) — mirrors the real page shape
+        return (
+            f"<html><h4>现任基金经理简介</h4><p>姓名：</p>"
+            f'<a href="m">{f["fund_manager"]}</a>'
+            f"<p>上任日期：<br>{f['date_of_appointment']}</p></html>"
+        )
+    if page_type == "METRICS":
+        sd = f["stddev_3y"] or "--"
+        sp = f["sharpe_3y"] or "--"
+        return (
+            f"<html><tr>标准差</td><td class='num'>1.11%<td class='num'>2.22%"
+            f"<td class='num'>{sd}<</tr>"
+            f"<tr>夏普比率</td><td class='num'>0.50<td class='num'>0.80"
+            f"<td class='num'>{sp}<</tr></html>"
+        )
+    if page_type == "INCREASE":
+        i3 = f["increase_3y"] or "---"
+        i5 = f["increase_5y"] or "---"
+        return f"<html>近3年：<b>{i3}</b> ... 近5年：<b>{i5}</b></html>"
+    raise ValueError(page_type)
+
+
+def page_body_rows(
+    codes: list[str], fault_fraction: float = 0.0
+) -> list[tuple[str, str, str, int, int]]:
+    """(fund_code, page_type, body, status, latency_ms) rows for the stub
+    transport. ``fault_fraction`` of rows (deterministic pick) get an
+    anti-bot blank-200 or a 503 — mirrors the reference's failure modes."""
+    from .schemas import PAGE_TYPES
+
+    rows = []
+    for code in codes:
+        for pt in PAGE_TYPES:
+            h = _h(code, pt)
+            body, status = page_body(code, pt), 200
+            if fault_fraction > 0 and (h % 10000) < fault_fraction * 10000:
+                if h % 2 == 0:
+                    body = ""  # anti-bot blank 200 (downloader.py:109-111)
+                else:
+                    status, body = 503, "busy"
+            rows.append((code, pt, body, status, 50 + h % 200))
+    return rows
+
+
+# --------------------------------------------------------------- images
+
+
+def make_image(image_id: str, w: int = 48, h: int = 48) -> np.ndarray:
+    """Deterministic smooth-ish RGB image (smooth so dctq stays >=40dB)."""
+    rng = np.random.RandomState(zlib.crc32(image_id.encode()) & 0x7FFFFFFF)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        fx, fy = rng.uniform(0.02, 0.2, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        base = 128 + 100 * np.sin(2 * np.pi * fx * xx + px) * np.cos(
+            2 * np.pi * fy * yy + py
+        )
+        img[:, :, c] = base + rng.normal(0, 3, (h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def caption_for(image_id: str) -> str:
+    h = _h(image_id, "cap")
+    return f"synthetic caption {h % 100000} for {image_id}"
+
+
+def image_rows(n: int, fmts: tuple[str, ...] = ("ppm", "bmp", "dctq")):
+    """Rows matching IMAGES_SCHEMA: (image_id, bytes, w, h, fmt, caption,
+    phash)."""
+    from .functions.imaging import encode_image, phash64
+
+    rows = []
+    for i in range(n):
+        image_id = f"img_{i // 4}_{i % 4}"
+        w = 32 + (i % 4) * 16
+        h = 32 + ((i // 2) % 3) * 16
+        arr = make_image(image_id, w, h)
+        fmt = fmts[i % len(fmts)]
+        rows.append(
+            (
+                image_id,
+                bytearray(encode_image(arr, fmt)),
+                w,
+                h,
+                fmt,
+                caption_for(image_id),
+                phash64(arr),
+            )
+        )
+    return rows
+
+
+# ---------------------------------------------------------------- hosts
+
+EASTMONEY_HOST = "fundf10.eastmoney.com"
+
+DEFAULT_ROBOTS = "User-agent: *\nDisallow: /private/\nAllow: /\n"
+
+
+def host_rows(cpus: int = 32) -> list[tuple[str, str, float, float]]:
+    # init 12 / cap cpu*5 mirror rate_control.py:19,30
+    return [
+        (EASTMONEY_HOST, DEFAULT_ROBOTS, 12.0, cpus * 5.0),
+        ("fund.eastmoney.com", DEFAULT_ROBOTS, 12.0, cpus * 5.0),
+        ("example-mirror.org", DEFAULT_ROBOTS, 12.0, cpus * 5.0),
+    ]
