@@ -1,0 +1,66 @@
+"""Fetch kernel — applyInPandas batch fetcher over host-salt groups.
+
+The reference fetches on a thread pool inside a child process
+(http_request_downloader.py:116-175); our equivalent is one Arrow batch
+per (host, host_salt) group handled by a Python worker. Grouping by
+(host, host_salt) — not just host — is the skew fix: the eastmoney case
+is ONE host owning the whole admitted set, and the salt fans its queue
+across min(n_salts, executors) tasks while the AIMD budget still caps
+total admission per host.
+
+The transport is injected as a module-level callable name so the
+closure stays picklable and tests/bench swap implementations without
+touching the plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import FETCHED_SCHEMA
+
+
+def run_fetch(
+    admitted: DataFrame,
+    fail_rate: float = 0.0,
+    max_fail_attempts: int = 3,
+    wave: int | None = None,
+) -> DataFrame:
+    """admitted frontier rows -> FETCHED_SCHEMA rows (stub transport).
+    ``wave`` stamps the rows with the wave the fetch HAPPENS in (the
+    frontier row's own wave column is its enqueue wave)."""
+    from ..sources.stub_transport import fetch_pandas_batch
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fetch_pandas_batch(pdf, fail_rate, max_fail_attempts)
+
+    fetched = (
+        admitted.select(
+            "url", "url_hash", "host", "host_salt", "page_type",
+            "seed_index", "retry_count", "wave",
+        )
+        .groupBy("host", "host_salt")
+        .applyInPandas(fn, FETCHED_SCHEMA)
+    )
+    if wave is not None:
+        fetched = fetched.withColumn("wave", F.lit(wave).cast("int"))
+    return fetched
+
+
+def with_fetch_order(fetched: DataFrame, admitted_ranks: DataFrame, order_offset: int) -> DataFrame:
+    """Assign the deterministic global crawl order: (host ASC, host_rank
+    ASC) within the wave, continuing from ``order_offset``.
+
+    The per-wave admitted set is budget-bounded (<= hosts x max_budget
+    rows), so the single-partition ordering window is over a tiny set —
+    this is control-plane-sized data, not the frontier.
+    """
+    ranks = admitted_ranks.select("url_hash", "host_rank")
+    w = Window.orderBy(F.col("host").asc(), F.col("host_rank").asc())
+    return (
+        fetched.join(F.broadcast(ranks), "url_hash")
+        .withColumn("fetch_order", F.row_number().over(w) + F.lit(order_offset))
+        .drop("host_rank")
+    )

@@ -1,0 +1,162 @@
+"""Politeness: robots.txt matching + per-host budgeted admission.
+
+Robots: RFC 9309 prefix rules with '*' wildcards and '$' anchors,
+longest-match-wins, most-specific user-agent group. Rule compilation is
+driver-side (hosts table is tiny — broadcastable); the per-URL check is
+a vectorized pandas_udf over a broadcast dict of compiled matchers —
+Arrow batches, zero per-row Python in the Spark plan.
+
+Admission: the wave scheduler's core query. Given the candidate
+frontier and the per-host integer budgets from the AIMD table, rank
+candidates within each host by the deterministic total order
+
+    retry_count DESC, priority ASC, seed_index ASC, page_ordinal ASC
+
+(retry-first mirrors http_request_downloader.py:162-166; the rest is
+our documented deterministic replacement for its LIFO race, SURVEY.md
+§4.4) and keep ``rank <= budget``. The rank uses the salted two-phase
+top-K so one dominant host (eastmoney) cannot pin a single reducer.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .topk import grouped_topk
+
+
+# ------------------------------------------------------------ robots
+
+
+def _rule_regex(pattern: str) -> re.Pattern:
+    out = []
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    for ch in pattern:
+        out.append(".*" if ch == "*" else re.escape(ch))
+    return re.compile("^" + "".join(out) + ("$" if anchored else ""))
+
+
+class RobotsMatcher:
+    """Parsed robots.txt for one host."""
+
+    def __init__(self, robots_txt: str | None, agent: str = "fundcrawler"):
+        groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+        cur_agents: list[str] = []
+        cur_rules: list[tuple[bool, str]] = []
+        in_group = False
+        for line in (robots_txt or "").splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, val = (x.strip() for x in line.split(":", 1))
+            key = key.lower()
+            if key == "user-agent":
+                if in_group:
+                    groups.append((cur_agents, cur_rules))
+                    cur_agents, cur_rules = [], []
+                    in_group = False
+                cur_agents.append(val.lower())
+            elif key in ("allow", "disallow"):
+                in_group = True
+                if val:
+                    cur_rules.append((key == "allow", val))
+                elif key == "disallow":
+                    pass  # empty Disallow = allow all (no rule)
+        if cur_agents or cur_rules:
+            groups.append((cur_agents, cur_rules))
+
+        # pick most specific matching group: exact agent > prefix > '*'
+        best, best_score = [], -1
+        agent = agent.lower()
+        for agents, rules in groups:
+            for a in agents:
+                score = -1
+                if a == "*":
+                    score = 0
+                elif agent.startswith(a) or a.startswith(agent):
+                    score = len(a)
+                if score > best_score:
+                    best, best_score = rules, score
+        self.rules = [(allow, len(pat), _rule_regex(pat)) for allow, pat in best]
+
+    def allowed(self, path: str) -> bool:
+        verdict, best_len = True, -1
+        for allow, plen, rx in self.rules:
+            if plen > best_len and rx.match(path):
+                verdict, best_len = allow, plen
+        return verdict
+
+
+def robots_filter(
+    frontier: DataFrame, robots_by_host: dict[str, str | None], agent: str = "fundcrawler"
+) -> DataFrame:
+    """Keep only robots-allowed rows. ``robots_by_host`` comes from the
+    small hosts table; matchers are compiled once per executor batch."""
+    matchers = {h: RobotsMatcher(txt, agent) for h, txt in robots_by_host.items()}
+
+    @F.pandas_udf(T.BooleanType())
+    def allowed(host: pd.Series, url_norm: pd.Series) -> pd.Series:
+        paths = url_norm.str.replace(r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True)
+        out = []
+        for h, p in zip(host, paths):
+            m = matchers.get(h)
+            out.append(m.allowed(p or "/") if m else True)
+        return pd.Series(out, dtype=bool)
+
+    return frontier.filter(allowed(F.col("host"), F.col("url_norm")))
+
+
+# ---------------------------------------------------------- admission
+
+def admission_order():
+    # Columns must be built lazily (needs an active SparkContext)
+    return [
+        F.col("retry_count").desc(),
+        F.col("priority").asc(),
+        F.col("seed_index").asc(),
+        F.col("page_ordinal").asc(),
+    ]
+
+
+def with_page_ordinal(df: DataFrame) -> DataFrame:
+    from ..schemas import PAGE_TYPES
+
+    expr = F.lit(len(PAGE_TYPES))
+    m = None
+    for i, p in enumerate(PAGE_TYPES):
+        m = F.when(F.col("page_type") == p, i) if m is None else m.when(F.col("page_type") == p, i)
+    return df.withColumn("page_ordinal", m.otherwise(expr).cast("int"))
+
+
+def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int) -> DataFrame:
+    """Rank candidates per host, keep rank <= that host's budget.
+
+    Two-phase: salted local top-K at k=max_budget (cheap, even shuffle),
+    then the exact per-host rank over <= n_salts*max_budget survivors.
+    Hosts with budget 0 are pruned before any shuffle.
+    """
+    spark = frontier.sparkSession
+    b_items = [(h, int(b)) for h, b in budgets.items()]
+    bdf = spark.createDataFrame(b_items, "host string, budget int") if b_items else None
+    cand = with_page_ordinal(frontier)
+    if bdf is not None:
+        cand = cand.join(F.broadcast(bdf), "host", "left").na.fill({"budget": 0})
+    else:
+        cand = cand.withColumn("budget", F.lit(0))
+    cand = cand.filter(F.col("budget") > 0)
+    ranked = grouped_topk(
+        cand,
+        ["host"],
+        admission_order(),
+        max(max_budget, 1),
+        rank_col="host_rank",
+        salt_cols=["seed_index", "page_ordinal", "retry_count"],
+    )
+    return ranked.filter(F.col("host_rank") <= F.col("budget")).drop("budget")

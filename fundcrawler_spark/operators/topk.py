@@ -34,14 +34,20 @@ def grouped_topk(
     tiebreak: list[str] = (),
     rank_col: str = "rank",
     n_salts: int = 32,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact per-group top-K with a salted pre-aggregation phase.
 
     ``order_by``: str means 'that column descending'; pass Column for
     custom direction. Result keeps all input columns + ``rank_col``.
+    ``salt_cols``: columns whose hash spreads rows of one group across
+    salt cells (must vary within a group!); defaults to ``tiebreak``.
     """
     order = _order(list(order_by), list(tiebreak))
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in (list(group_cols) + list(tiebreak))]), F.lit(n_salts))
+    salt_src = salt_cols if salt_cols is not None else list(tiebreak)
+    if not salt_src:
+        raise ValueError("grouped_topk needs tiebreak or salt_cols to salt on")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts))
     local_w = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
     survivors = (
         df.withColumn("__salt", salt)

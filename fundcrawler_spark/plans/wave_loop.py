@@ -1,0 +1,267 @@
+"""Wave-loop crawl driver — the Spark re-expression of the reference's
+producer / child-process / consumer pipeline (process_manager.py:185-207
++ http_request_downloader.py:116-175), serialized into deterministic
+micro-batch waves (SURVEY.md §3 E1).
+
+Each wave is one Spark job chain:
+
+    cand     = frontier (robots-filtered)
+    admitted = per-host AIMD budget window         (politeness.admit)
+    fetched  = applyInPandas fetch kernel          (fetch.run_fetch)
+    frontier = (frontier - admitted) + failures    (anti-join + union)
+    seen    += successful url hashes               (bloom shard insert)
+    budgets  = AIMD update from wave counts        (plans.rate_control)
+    pages   += successes; fetch_log += metrics     (IcebergLite append)
+    checkpoint(frontier, seen, budgets, snapshots) (exact resume)
+
+Scale properties: the frontier never shuffles for the anti-join
+(admitted side is budget-bounded -> broadcast); seen-set maintenance
+touches one blob per shard per wave; the only global sort is over the
+admitted set (<= hosts x max_budget rows) for the crawl-order contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import frontier as frontier_ops
+from ..operators.assemble import assemble_results
+from ..operators.fetch import run_fetch, with_fetch_order
+from ..operators.politeness import admit, robots_filter
+from ..operators.seen import SeenSet
+from ..schemas import FRONTIER_SCHEMA, SEEN_SHARDS_SCHEMA
+from ..sources.iceberg_lite import IcebergLiteTable
+from .rate_control import BudgetTable
+
+
+@dataclass
+class CrawlConfig:
+    n_salts: int = 32
+    n_shards: int = 64
+    seen_kind: str = "bloom"          # 'bloom' | 'cuckoo'
+    insert_on: str = "success"         # 'success' | 'admission' (cuckoo)
+    fail_rate: float = 0.0             # stub-transport fault probability
+    max_fail_attempts: int = 3         # stub: URL succeeds after this many
+    max_retries: int | None = 10       # None = reference's infinite default
+    max_waves: int = 200
+    max_budget: int = 160              # cpu*5 analog (rate_control.py:30)
+    shard_capacity: int = 1_000_000
+    robots_by_host: dict = field(default_factory=dict)
+    agent: str = "fundcrawler"
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, workdir: str, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = config or CrawlConfig()
+        self.seen = SeenSet(
+            spark, self.cfg.n_shards, self.cfg.seen_kind, self.cfg.shard_capacity
+        )
+        os.makedirs(workdir, exist_ok=True)
+        self.pages = IcebergLiteTable(os.path.join(workdir, "tables", "pages"))
+        self.images = IcebergLiteTable(os.path.join(workdir, "tables", "images"))
+        self.results = IcebergLiteTable(os.path.join(workdir, "tables", "results"))
+        self.fetch_log = IcebergLiteTable(os.path.join(workdir, "tables", "fetch_log"))
+        self.ckpt_root = os.path.join(workdir, "checkpoints")
+        os.makedirs(self.ckpt_root, exist_ok=True)
+
+    # ----------------------------------------------------- checkpointing
+
+    def _ckpt_dir(self, wave: int) -> str:
+        return os.path.join(self.ckpt_root, f"wave={wave:05d}")
+
+    def _write_checkpoint(self, wave: int, frontier: DataFrame, shards: DataFrame,
+                          budgets: BudgetTable, order_offset: int) -> None:
+        d = self._ckpt_dir(wave)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        frontier.write.parquet(os.path.join(d, "frontier"))
+        shards.write.parquet(os.path.join(d, "seen"))
+        meta = {
+            "wave": wave,
+            "order_offset": order_offset,
+            "budgets": budgets.to_dict(),
+            "snapshots": {
+                "pages": self.pages.current_snapshot(),
+                "images": self.images.current_snapshot(),
+                "results": self.results.current_snapshot(),
+                "fetch_log": self.fetch_log.current_snapshot(),
+            },
+        }
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        # commit marker LAST -> a torn checkpoint is never resumed from
+        open(os.path.join(d, "_COMPLETE"), "w").close()
+
+    def latest_checkpoint(self) -> int | None:
+        waves = [
+            int(n.split("=")[1])
+            for n in os.listdir(self.ckpt_root)
+            if n.startswith("wave=")
+            and os.path.exists(os.path.join(self.ckpt_root, n, "_COMPLETE"))
+        ]
+        return max(waves) if waves else None
+
+    def _load_checkpoint(self, wave: int) -> tuple[DataFrame, DataFrame, BudgetTable, int]:
+        d = self._ckpt_dir(wave)
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        # rewind table snapshots to exactly the checkpointed state
+        for name, tbl in (
+            ("pages", self.pages), ("images", self.images),
+            ("results", self.results), ("fetch_log", self.fetch_log),
+        ):
+            snap = meta["snapshots"][name]
+            if snap is not None and tbl.current_snapshot() != snap:
+                tbl.rollback(snap)
+        frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
+        shards = self.spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
+        budgets = BudgetTable.from_dict(meta["budgets"], max_num=float(self.cfg.max_budget))
+        return frontier, shards, budgets, meta["order_offset"]
+
+    # ------------------------------------------------------------- run
+
+    def run(self, seeds: DataFrame | None = None, resume: bool = False,
+            log=print) -> dict:
+        cfg = self.cfg
+        spark = self.spark
+
+        seeds_path = os.path.join(self.workdir, "seeds.parquet")
+        if resume:
+            last = self.latest_checkpoint()
+            if last is None:
+                raise RuntimeError("no complete checkpoint to resume from")
+            frontier, shards, budgets, order_offset = self._load_checkpoint(last)
+            wave = last + 1
+            seeds = spark.read.parquet(seeds_path)
+            log(f"[crawl] resumed from checkpoint wave={last}")
+        else:
+            assert seeds is not None, "fresh run needs a seeds DataFrame"
+            seeds.write.mode("overwrite").parquet(seeds_path)
+            seeds = spark.read.parquet(seeds_path)
+            frontier0 = frontier_ops.seeds_to_frontier(seeds, cfg.n_salts)
+            shards = self.seen.empty_shards()
+            # probe-at-insert: drop URLs already in the seen set (no-op on
+            # an empty set; meaningful when seeding an existing crawl)
+            probed = self.seen.probe(shards, frontier0)
+            frontier = probed.filter(~F.col("seen")).drop("seen")
+            budgets = BudgetTable(max_num=float(cfg.max_budget))
+            wave, order_offset = 0, 0
+
+        while wave < cfg.max_waves:
+            frontier = frontier.repartition(cfg.n_salts, "url_hash")
+            frontier.persist()
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                frontier.unpersist()
+                break
+
+            hosts_seen = {r["host"] for r in frontier.select("host").distinct().collect()}
+            wave_budgets = {h: budgets.budget_for(h) for h in hosts_seen}
+
+            cand = frontier
+            if cfg.robots_by_host:
+                cand = robots_filter(cand, cfg.robots_by_host, cfg.agent)
+            admitted = admit(cand, wave_budgets, cfg.max_budget)
+            admitted.persist()
+            n_admitted = admitted.count()
+
+            if n_admitted:
+                fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts, wave=wave)
+                fetched = with_fetch_order(fetched, admitted, order_offset)
+                fetched.persist()
+                counts = {
+                    r["host"]: (r["s"], r["f"])
+                    for r in fetched.groupBy("host")
+                    .agg(
+                        F.count_if(F.col("state") == "SUCCESS").alias("s"),
+                        F.count_if(F.col("state") == "FALSE").alias("f"),
+                    )
+                    .collect()
+                }
+                order_offset += n_admitted
+
+                ok = fetched.filter(F.col("state") == "SUCCESS")
+                self.pages.append(ok.select(
+                    "url_hash", "url", "host", "page_type", "seed_index",
+                    "retry_count", "body", "image_bytes", "caption", "wave", "fetch_order",
+                ))
+                # metrics + per-partition lineage
+                metrics = (
+                    fetched.withColumn("partition_id", F.spark_partition_id())
+                    .groupBy("wave", "host", "partition_id")
+                    .agg(
+                        F.count("*").alias("n_admitted"),
+                        F.count_if(F.col("state") == "SUCCESS").alias("n_success"),
+                        F.count_if(F.col("state") == "FALSE").alias("n_fail"),
+                    )
+                    .withColumn("fail_rate_w10", F.lit(None).cast("double"))
+                    .withColumn("budget", F.lit(None).cast("double"))
+                    .withColumn("threshold", F.lit(None).cast("double"))
+                    .withColumn("wall_ms", F.lit(None).cast("double"))
+                    .select(
+                        "wave", "host", "n_admitted", "n_success", "n_fail",
+                        "fail_rate_w10", "budget", "threshold", "partition_id", "wall_ms",
+                    )
+                )
+                self.fetch_log.append(metrics)
+
+                # frontier update
+                rest = frontier_ops.remove_admitted(frontier, admitted)
+                frontier_next = frontier_ops.requeue_failures(
+                    rest, fetched, wave + 1, cfg.max_retries
+                )
+
+                # seen-set maintenance
+                if cfg.insert_on == "admission":
+                    shards = self.seen.insert(shards, admitted.select("url_hash"))
+                    fails = fetched.filter(F.col("state") == "FALSE")
+                    shards = self.seen.delete(shards, fails.select("url_hash"))
+                else:
+                    shards = self.seen.insert(shards, ok.select("url_hash"))
+                fetched.unpersist()
+            else:
+                counts = {}
+                frontier_next = frontier
+
+            budgets.observe_wave(counts, hosts_seen)
+
+            # materialize the next frontier + shards via the checkpoint
+            # (cuts lineage; the checkpoint IS the materialization)
+            self._write_checkpoint(wave, frontier_next, shards, budgets, order_offset)
+            d = self._ckpt_dir(wave)
+            frontier.unpersist()
+            admitted.unpersist()
+            frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
+            shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
+            log(f"[crawl] wave={wave} frontier={n_frontier} admitted={n_admitted}")
+            wave += 1
+
+        # ---- finalize: barrier-join assembly over all fetched pages
+        pages = self.pages.read(spark)
+        stats = {"waves": wave, "pages_fetched": order_offset}
+        if pages is not None and seeds is not None:
+            results = assemble_results(
+                pages.select("seed_index", "page_type", "body"), seeds
+            )
+            self.results.overwrite(results)
+            # image+caption payload table (input_hint schema), enriched
+            # with decode metadata + phash by the mapInPandas kernel
+            from ..operators.multimodal import enrich_images
+            from ..operators.politeness import with_page_ordinal
+
+            raw = with_page_ordinal(pages).select(
+                F.concat_ws("_", F.lit("img"), "seed_index", "page_ordinal").alias("image_id"),
+                F.col("image_bytes").alias("bytes"),
+                "caption",
+            )
+            self.images.overwrite(enrich_images(raw))
+            stats["results"] = results.count()
+        return stats
