@@ -1,0 +1,58 @@
+"""Exact resume: kill after wave K, resume, final state identical to an
+uninterrupted run (north-rule checkpoint contract)."""
+
+import shutil
+import tempfile
+
+from fundcrawler_spark import fixtures as fx
+from fundcrawler_spark.plans.wave_loop import Crawler, CrawlConfig
+from fundcrawler_spark.schemas import SEEDS_SCHEMA
+
+
+def test_resume_equals_straight_run(spark):
+    seeds = spark.createDataFrame(fx.seed_rows(8), SEEDS_SCHEMA)
+    full = CrawlConfig(fail_rate=0.08, max_fail_attempts=1, max_waves=25, n_shards=8)
+    half = CrawlConfig(fail_rate=0.08, max_fail_attempts=1, max_waves=4, n_shards=8)
+
+    wd1, wd2 = tempfile.mkdtemp(prefix="rA_"), tempfile.mkdtemp(prefix="rB_")
+    try:
+        c1 = Crawler(spark, wd1, full)
+        s1 = c1.run(seeds=seeds, log=lambda *a: None)
+
+        Crawler(spark, wd2, half).run(seeds=seeds, log=lambda *a: None)
+        c2 = Crawler(spark, wd2, full)
+        s2 = c2.run(resume=True, log=lambda *a: None)
+
+        assert (s1["waves"], s1["pages_fetched"]) == (s2["waves"], s2["pages_fetched"])
+        key = lambda r: (r["fetch_order"], r["url_hash"], r["wave"])
+        p1 = sorted(map(key, c1.pages.read(spark).collect()))
+        p2 = sorted(map(key, c2.pages.read(spark).collect()))
+        assert p1 == p2
+        r1 = sorted(map(tuple, c1.results.read(spark).collect()))
+        r2 = sorted(map(tuple, c2.results.read(spark).collect()))
+        assert r1 == r2
+        b1 = {r["shard_id"]: bytes(r["blob"]) for r in spark.read.parquet(
+            f"{wd1}/checkpoints/wave={s1['waves']-1:05d}/seen").collect()}
+        b2 = {r["shard_id"]: bytes(r["blob"]) for r in spark.read.parquet(
+            f"{wd2}/checkpoints/wave={s2['waves']-1:05d}/seen").collect()}
+        assert b1 == b2
+    finally:
+        shutil.rmtree(wd1)
+        shutil.rmtree(wd2)
+
+
+def test_torn_checkpoint_not_resumed(spark):
+    import os
+
+    seeds = spark.createDataFrame(fx.seed_rows(4), SEEDS_SCHEMA)
+    cfg = CrawlConfig(fail_rate=0.0, max_waves=2, n_shards=4)
+    wd = tempfile.mkdtemp(prefix="torn_")
+    try:
+        c = Crawler(spark, wd, cfg)
+        c.run(seeds=seeds, log=lambda *a: None)
+        last = c.latest_checkpoint()
+        # tear the newest checkpoint: remove its commit marker
+        os.remove(os.path.join(wd, "checkpoints", f"wave={last:05d}", "_COMPLETE"))
+        assert Crawler(spark, wd, cfg).latest_checkpoint() == last - 1
+    finally:
+        shutil.rmtree(wd)

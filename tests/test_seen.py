@@ -1,0 +1,62 @@
+"""Seen-set shard tests: bloom FPR / no-false-negatives, cuckoo
+insert+delete, and the distributed probe/insert cycle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fundcrawler_spark.operators.seen import BloomShard, CuckooShard, SeenSet
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    rng = np.random.RandomState(42)
+    keys = rng.randint(-(2**62), 2**62, 20_000, dtype=np.int64)
+    b = BloomShard.sized(20_000, fpr=0.01)
+    b.insert(keys)
+    assert b.contains(keys).all()
+    probe = rng.randint(-(2**62), 2**62, 50_000, dtype=np.int64)
+    fresh = probe[~np.isin(probe, keys)]
+    fpr = b.contains(fresh).mean()
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_blob_roundtrip_and_union():
+    a, b = BloomShard.sized(1000), BloomShard.sized(1000)
+    ka = np.arange(100, dtype=np.int64)
+    kb = np.arange(100, 200, dtype=np.int64)
+    a.insert(ka)
+    b.insert(kb)
+    u = a.union(b)
+    assert u.contains(np.concatenate([ka, kb])).all()
+    r = BloomShard.from_blob(a.to_blob())
+    assert (r.bits == a.bits).all() and r.n_items == a.n_items
+
+
+def test_cuckoo_insert_contains_delete():
+    c = CuckooShard.sized(10_000)
+    keys = np.arange(5000, dtype=np.int64) * 7 - 999
+    c.insert(keys)
+    assert c.contains(keys).all()
+    dele = keys[:1000]
+    assert c.delete(dele) == 1000
+    assert not c.contains(dele).any() or c.contains(dele).mean() < 0.01
+    assert c.contains(keys[1000:]).all()
+    r = CuckooShard.from_blob(c.to_blob())
+    assert (r.table == c.table).all()
+
+
+def test_distributed_probe_insert(spark):
+    ss = SeenSet(spark, n_shards=4, capacity_per_shard=10_000)
+    cand = spark.range(0, 500).select(
+        (F.col("id") * 2654435761).cast("long").alias("url_hash")
+    )
+    shards = ss.empty_shards()
+    p0 = ss.probe(shards, cand)
+    assert p0.filter(F.col("seen")).count() == 0
+    shards = ss.insert(shards, cand.limit(200))
+    assert shards.count() == 4
+    p1 = ss.probe(shards, cand)
+    seen_n = p1.filter(F.col("seen")).count()
+    assert 200 <= seen_n <= 205  # bloom FP allowance
+    n_items = sum(r["n_items"] for r in shards.select("n_items").collect())
+    assert n_items == 200
