@@ -1,0 +1,1086 @@
+"""Query registry for __spark_entry__: every SQL-expressible operator
+from SURVEY.md §2 (marked §) plus the training-data-pipeline ops, each
+as (spark_fn, duckdb_oracle_sql).
+
+Parity rules (both engines MUST agree bit-for-bit on the value hash):
+  * inputs derive from the shared testdata tables with integer-only
+    arithmetic; float values are produced by identical IEEE ops on
+    identical operands (division of ints, never engine-specific hashes)
+  * every computed column is aliased identically on both sides
+  * aggregations that would sum doubles in nondeterministic order use
+    ints/longs or min/max instead
+  * cross-engine string hash = polynomial codepoint hash mod 2^31-1
+    (textstats.poly_hash) — NOT xxhash64/md5-to-int
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.parse import parse_increase, parse_metrics, parse_overview
+from .operators.analysis import select_funds
+from .operators.dedup import exact_dedup, minhash_lsh_pairs
+from .operators.similarity import brute_force_topk, cosine_near_dup_pairs
+from .operators.textstats import (
+    doc_fingerprint,
+    lang_guess,
+    minhash_signature,
+    quality_features,
+    quality_score,
+    simhash32,
+    token_count,
+)
+from .operators.topk import grouped_topk
+from .schemas import PAGE_TYPES
+
+AS_OF = "2026-08-01"
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# shared synthetic-fund derivation (customer -> 12-col-result analog)
+# =====================================================================
+
+_FUND_SQL = """
+fund AS (
+  SELECT lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS fund_code,
+         CASE CAST(c_nationkey % 4 AS INT)
+           WHEN 0 THEN '债券型' WHEN 1 THEN '股票型'
+           WHEN 2 THEN '混合型' ELSE '指数型' END AS fund_type,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE
+           concat(CASE WHEN c_custkey % 601 - 100 < 0 THEN '-' ELSE '' END,
+                  CAST(CAST(floor(abs(c_custkey % 601 - 100) / 100) AS INT) AS VARCHAR), '.',
+                  lpad(CAST(abs(c_custkey % 601 - 100) % 100 AS VARCHAR), 2, '0'))
+         END AS sharpe_3y,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE
+           concat(CASE WHEN c_custkey % 1901 - 400 < 0 THEN '-' ELSE '' END,
+                  CAST(CAST(floor(abs(c_custkey % 1901 - 400) / 10) AS INT) AS VARCHAR), '.',
+                  CAST(abs(c_custkey % 1901 - 400) % 10 AS VARCHAR), '%')
+         END AS increase_3y,
+         CAST(DATE '1990-01-01' + CAST(c_custkey % 12000 AS INT) AS VARCHAR)
+           AS date_of_appointment
+  FROM customer)
+"""
+
+
+def _fund_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    sv = k % 601 - 100
+    iv = k % 1901 - 400
+
+    def _dec_str(v, scale_div, frac_digits):
+        a = F.abs(v)
+        return F.concat(
+            F.when(v < 0, F.lit("-")).otherwise(F.lit("")),
+            F.floor(a / scale_div).cast("int").cast("string"),
+            F.lit("."),
+            F.lpad((a % scale_div).cast("string"), frac_digits, "0"),
+        )
+
+    return c.select(
+        F.lpad(k.cast("string"), 6, "0").alias("fund_code"),
+        F.when((F.col("c_nationkey") % 4).cast("int") == 0, "债券型")
+        .when((F.col("c_nationkey") % 4).cast("int") == 1, "股票型")
+        .when((F.col("c_nationkey") % 4).cast("int") == 2, "混合型")
+        .otherwise("指数型")
+        .alias("fund_type"),
+        F.when(k % 7 == 0, F.lit(None)).otherwise(_dec_str(sv, 100, 2)).alias("sharpe_3y"),
+        F.when(k % 5 == 0, F.lit(None))
+        .otherwise(F.concat(_dec_str(iv, 10, 1), F.lit("%")))
+        .alias("increase_3y"),
+        F.date_add(F.lit("1990-01-01").cast("date"), (k % 12000).cast("int"))
+        .cast("string")
+        .alias("date_of_appointment"),
+    )
+
+
+# ------------------------------------------------- flagship: analysis
+@register(
+    "analysis_topk",
+    f"""
+WITH {_FUND_SQL},
+typed AS (
+  SELECT fund_code, fund_type,
+         CAST(sharpe_3y AS DOUBLE) AS sharpe_3y,
+         CAST(replace(increase_3y, '%', '') AS DOUBLE) AS increase_3y_pct,
+         datediff('day', CAST(date_of_appointment AS DATE), DATE '{AS_OF}') AS tenure_days
+  FROM fund),
+cat AS (
+  SELECT *, CASE WHEN instr(fund_type, '债') > 0 THEN 'debt'
+                 WHEN tenure_days > 3650 AND increase_3y_pct IS NOT NULL THEN 'long'
+                 ELSE 'other' END AS category
+  FROM typed WHERE tenure_days > 1095 AND sharpe_3y IS NOT NULL),
+s1 AS (
+  SELECT * FROM cat WHERE category <> 'long'
+  QUALIFY row_number() OVER (PARTITION BY category ORDER BY sharpe_3y DESC, fund_code ASC) <= 200),
+s2 AS (
+  SELECT category, fund_code, sharpe_3y, increase_3y_pct,
+         row_number() OVER (PARTITION BY category ORDER BY increase_3y_pct DESC, fund_code ASC) AS rank
+  FROM s1 WHERE increase_3y_pct IS NOT NULL
+  QUALIFY rank <= CASE WHEN category = 'debt' THEN 5 ELSE 10 END),
+lng AS (
+  SELECT category, fund_code, sharpe_3y, increase_3y_pct,
+         row_number() OVER (PARTITION BY category ORDER BY increase_3y_pct DESC, fund_code ASC) AS rank
+  FROM cat WHERE category = 'long' QUALIFY rank <= 10)
+SELECT category, rank, fund_code, sharpe_3y, increase_3y_pct FROM s2
+UNION ALL
+SELECT category, rank, fund_code, sharpe_3y, increase_3y_pct FROM lng
+""",
+)
+def q_analysis_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return select_funds(_fund_df(spark, sf_dir), AS_OF)
+
+
+# =====================================================================
+# regex projection layer (reference impl/*.py patterns)
+# =====================================================================
+
+_OVERVIEW_BODY_SQL = """
+ov AS (
+  SELECT o_orderkey,
+    CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN '债券型' WHEN 1 THEN '股票型'
+         WHEN 2 THEN '混合型' ELSE '指数型' END AS typ,
+    concat(CAST(1 + o_orderkey % 9 AS VARCHAR), ',',
+           lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0'), '.',
+           lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')) AS size_raw,
+    CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN '华夏基金' WHEN 1 THEN '易方达基金'
+         WHEN 2 THEN '南方基金' WHEN 3 THEN '天弘基金' ELSE '嘉实基金' END AS comp,
+    concat(CAST(o_orderkey % 4 AS VARCHAR), '.',
+           lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')) AS nav
+  FROM orders),
+bodies AS (
+  SELECT o_orderkey,
+    concat('<tr><th>基金类型</th><td>', typ, '</td></tr><tr><th>发行日期</th></tr>',
+           '<tr><th>资产规模</th><td>', size_raw, '亿元（截止）</td></tr>',
+           '<tr><th>基金管理人</th><td><a href="x">', comp,
+           '</a></td><th>基金托管人</th></tr>',
+           '<p>单位净值（2026-08-01）：', nav, ' </p>') AS body
+  FROM ov)
+"""
+
+
+def _overview_body_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    typ = (
+        F.when((k % 4).cast("int") == 0, "债券型")
+        .when((k % 4).cast("int") == 1, "股票型")
+        .when((k % 4).cast("int") == 2, "混合型")
+        .otherwise("指数型")
+    )
+    size_raw = F.concat(
+        (1 + k % 9).cast("string"), F.lit(","),
+        F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("."),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+    )
+    comp = (
+        F.when((k % 5).cast("int") == 0, "华夏基金")
+        .when((k % 5).cast("int") == 1, "易方达基金")
+        .when((k % 5).cast("int") == 2, "南方基金")
+        .when((k % 5).cast("int") == 3, "天弘基金")
+        .otherwise("嘉实基金")
+    )
+    nav = F.concat(
+        (k % 4).cast("string"), F.lit("."), F.lpad((k % 10000).cast("string"), 4, "0")
+    )
+    body = F.concat(
+        F.lit("<tr><th>基金类型</th><td>"), typ,
+        F.lit("</td></tr><tr><th>发行日期</th></tr>"),
+        F.lit("<tr><th>资产规模</th><td>"), size_raw,
+        F.lit("亿元（截止）</td></tr>"),
+        F.lit('<tr><th>基金管理人</th><td><a href="x">'), comp,
+        F.lit("</a></td><th>基金托管人</th></tr>"),
+        F.lit("<p>单位净值（2026-08-01）："), nav, F.lit(" </p>"),
+    )
+    return o.select("o_orderkey", body.alias("body"))
+
+
+@register(
+    "regex_overview",
+    f"""
+WITH {_OVERVIEW_BODY_SQL}
+SELECT o_orderkey,
+  nullif(regexp_extract(body, '基金类型</th><td>(.+?)</td></tr><tr><th>发行日期', 1), '') AS fund_type,
+  regexp_replace(
+    nullif(regexp_extract(body, '资产规模</th><td>(-?(\\d+?(,\\d+)*?(\\.\\d+)?))亿元', 1), ''),
+    ',', '', 'g') AS fund_size,
+  nullif(regexp_extract(body, '基金管理人</th><td><a.*?">(.+?)</a></td><th>基金托管人', 1), '') AS fund_company,
+  nullif(regexp_extract(body, '单位净值.*?：[\\s\\S]*?(-?(\\d+?(,\\d+)*?(\\.\\d+)?))\\s', 1), '') AS fund_value
+FROM bodies
+""",
+)
+def q_regex_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _overview_body_df(spark, sf_dir)
+    cols = parse_overview(F.col("body"))
+    return b.select("o_orderkey", *[cols[c].alias(c) for c in
+                                    ("fund_type", "fund_size", "fund_company", "fund_value")])
+
+
+_METRICS_BODY_SQL = """
+mx AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN '--' ELSE
+      concat(CAST(o_orderkey % 30 AS VARCHAR), '.',
+             lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0'), '%') END AS sd,
+    CASE WHEN o_orderkey % 7 = 0 THEN '--' ELSE
+      concat(CAST(o_orderkey % 5 AS VARCHAR), '.',
+             lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')) END AS sp
+  FROM orders),
+bodies AS (
+  SELECT o_orderkey,
+    concat('<tr>标准差</td><td class=''num''>1.11%<td class=''num''>2.22%<td class=''num''>',
+           sd, '<</tr><tr>夏普比率</td><td class=''num''>0.50<td class=''num''>0.80<td class=''num''>',
+           sp, '<</tr>') AS body
+  FROM mx)
+"""
+
+
+@register(
+    "regex_metrics_sentinel",
+    f"""
+WITH {_METRICS_BODY_SQL}
+SELECT o_orderkey,
+  nullif(nullif(regexp_extract(body, '标准差.+?''>(.+?)<.+?''>(.+?)<.+?''>(.+?)<', 3), ''), '--') AS stddev_3y,
+  nullif(nullif(regexp_extract(body, '夏普比率.+?''>(.+?)<.+?''>(.+?)<.+?''>(.+?)<', 3), ''), '--') AS sharpe_3y
+FROM bodies
+""",
+)
+def q_regex_metrics_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    sd = F.when(k % 7 == 0, F.lit("--")).otherwise(
+        F.concat((k % 30).cast("string"), F.lit("."),
+                 F.lpad((k % 100).cast("string"), 2, "0"), F.lit("%"))
+    )
+    sp = F.when(k % 7 == 0, F.lit("--")).otherwise(
+        F.concat((k % 5).cast("string"), F.lit("."),
+                 F.lpad((k % 100).cast("string"), 2, "0"))
+    )
+    body = F.concat(
+        F.lit("<tr>标准差</td><td class='num'>1.11%<td class='num'>2.22%<td class='num'>"),
+        sd,
+        F.lit("<</tr><tr>夏普比率</td><td class='num'>0.50<td class='num'>0.80<td class='num'>"),
+        sp,
+        F.lit("<</tr>"),
+    )
+    b = o.select("o_orderkey", body.alias("body"))
+    cols = parse_metrics(F.col("body"))
+    return b.select("o_orderkey", cols["stddev_3y"].alias("stddev_3y"),
+                    cols["sharpe_3y"].alias("sharpe_3y"))
+
+
+_INCREASE_BODY_SQL = """
+ic AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 5 = 0 THEN '---' ELSE
+      concat(CASE WHEN o_orderkey % 200 - 50 < 0 THEN '-' ELSE '' END,
+             CAST(CAST(floor(abs(o_orderkey % 200 - 50) / 10) AS INT) AS VARCHAR), '.',
+             CAST(abs(o_orderkey % 200 - 50) % 10 AS VARCHAR), '%') END AS i3,
+    CASE WHEN o_orderkey % 11 = 0 THEN '---' ELSE
+      concat(CAST(o_orderkey % 300 AS VARCHAR), '.0%') END AS i5
+  FROM orders),
+bodies AS (
+  SELECT o_orderkey, concat('近3年：<b>', i3, '</b> ... 近5年：<b>', i5, '</b>') AS body
+  FROM ic)
+"""
+
+
+@register(
+    "regex_increase_sentinel",
+    f"""
+WITH {_INCREASE_BODY_SQL},
+ext AS (
+  SELECT o_orderkey,
+    nullif(nullif(regexp_extract(body, '近3年[\\s\\S]*?((-?(\\d+?(,\\d+)*?(\\.\\d+)?))%|---)', 1), ''), '---') AS increase_3y,
+    nullif(nullif(regexp_extract(body, '近5年[\\s\\S]*?((-?(\\d+?(,\\d+)*?(\\.\\d+)?))%|---)', 1), ''), '---') AS increase_5y
+  FROM bodies)
+SELECT o_orderkey, increase_3y, increase_5y,
+       CAST(regexp_replace(increase_3y, '%$', '') AS DOUBLE) AS increase_3y_pct
+FROM ext
+""",
+)
+def q_regex_increase_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.parse import percent_to_double
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v3 = k % 200 - 50
+    i3 = F.when(k % 5 == 0, F.lit("---")).otherwise(
+        F.concat(
+            F.when(v3 < 0, F.lit("-")).otherwise(F.lit("")),
+            F.floor(F.abs(v3) / 10).cast("int").cast("string"),
+            F.lit("."), (F.abs(v3) % 10).cast("string"), F.lit("%"),
+        )
+    )
+    i5 = F.when(k % 11 == 0, F.lit("---")).otherwise(
+        F.concat((k % 300).cast("string"), F.lit(".0%"))
+    )
+    body = F.concat(F.lit("近3年：<b>"), i3, F.lit("</b> ... 近5年：<b>"), i5, F.lit("</b>"))
+    b = o.select("o_orderkey", body.alias("body"))
+    cols = parse_increase(F.col("body"))
+    return b.select(
+        "o_orderkey",
+        cols["increase_3y"].alias("increase_3y"),
+        cols["increase_5y"].alias("increase_5y"),
+        percent_to_double(cols["increase_3y"]).alias("increase_3y_pct"),
+    )
+
+
+# ------------------------------------------- seed scan string slicing
+@register(
+    "seed_scan_slices",
+    """
+WITH entries AS (
+  SELECT concat('"', lpad(CAST(c_custkey AS VARCHAR), 6, '0'), '","', c_name, '"') AS entry
+  FROM customer)
+SELECT substring(entry, 2, 6) AS fund_code,
+       substring(entry, 11, length(entry) - 11) AS fund_name
+FROM entries
+""",
+)
+def q_seed_scan_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    entry = F.concat(
+        F.lit('"'), F.lpad(F.col("c_custkey").cast("string"), 6, "0"),
+        F.lit('","'), F.col("c_name"), F.lit('"'),
+    )
+    e = c.select(entry.alias("entry"))
+    # reference slices: code = i[1:7], name = i[10:-1] (get_fund_by_web.py:25)
+    return e.select(
+        F.substring("entry", 2, 6).alias("fund_code"),
+        F.expr("substring(entry, 11, length(entry) - 11)").alias("fund_name"),
+    )
+
+
+# --------------------------------------------------- URL build + fanout
+@register(
+    "fanout_urls",
+    """
+WITH pts AS (
+  SELECT * FROM (VALUES ('OVERVIEW', 0), ('MANAGER', 1), ('METRICS', 2), ('INCREASE', 3))
+  AS t(page_type, page_ordinal)),
+seeds AS (SELECT lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS fund_code FROM part)
+SELECT fund_code, page_type, page_ordinal,
+  CASE page_type
+    WHEN 'OVERVIEW' THEN concat('http://fundf10.eastmoney.com/jbgk_', fund_code, '.html')
+    WHEN 'MANAGER' THEN concat('http://fundf10.eastmoney.com/jjjl_', fund_code, '.html')
+    WHEN 'METRICS' THEN concat('http://fundf10.eastmoney.com/tsdata_', fund_code, '.html')
+    ELSE concat('https://fundf10.eastmoney.com/FundArchivesDatas.aspx?type=jdzf&code=', fund_code)
+  END AS url
+FROM seeds CROSS JOIN pts
+""",
+)
+def q_fanout_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urlnorm import build_url
+
+    p = _t(spark, sf_dir, "part")
+    seeds = p.select(F.lpad(F.col("p_partkey").cast("string"), 6, "0").alias("fund_code"))
+    fan = seeds.select(
+        "fund_code",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(pt).alias("page_type"), F.lit(i).alias("page_ordinal"))
+                for i, pt in enumerate(PAGE_TYPES)
+            ])
+        ).alias("p"),
+    ).select("fund_code", F.col("p.page_type").alias("page_type"),
+             F.col("p.page_ordinal").alias("page_ordinal"))
+    return fan.withColumn("url", build_url(F.col("page_type"), F.col("fund_code")))
+
+
+# ---------------------------------------------------- URL canonicalize
+@register(
+    "url_canonicalize",
+    """
+WITH raw AS (
+  SELECT c_custkey, concat(
+    CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END,
+    'Host', CAST(c_custkey % 5 AS VARCHAR), '.Example.COM',
+    CASE WHEN c_custkey % 3 = 0 THEN ':443' ELSE '' END,
+    '//path//', CAST(c_custkey AS VARCHAR),
+    CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END,
+    CASE WHEN c_custkey % 6 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM customer),
+s1 AS (SELECT c_custkey, regexp_replace(url, '#.*$', '') AS u FROM raw),
+s2 AS (SELECT c_custkey,
+         CASE WHEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+              THEN 'http' ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) END AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       FROM s1),
+s3 AS (SELECT c_custkey, scheme,
+         regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\\.', ''), ':(80|443)$', '') AS host,
+         regexp_replace(rest, '^[^/?]*', '') AS path_q
+       FROM s2),
+s4 AS (SELECT c_custkey, scheme, host,
+         regexp_replace(regexp_replace(regexp_extract(path_q, '^([^?]*)', 1), '/{2,}', '/', 'g'), '(.)/$', '\\1') AS path,
+         regexp_replace(path_q, '^[^?]*', '') AS query
+       FROM s3)
+SELECT c_custkey, concat(scheme, '://', host,
+         CASE WHEN path = '' THEN '/' ELSE path END, query) AS url_norm
+FROM s4
+""",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urlnorm import canonicalize_url
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("http://")),
+        F.lit("Host"), (k % 5).cast("string"), F.lit(".Example.COM"),
+        F.when(k % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("//path//"), k.cast("string"),
+        F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return c.select("c_custkey", canonicalize_url(url).alias("url_norm"))
+
+
+# ------------------------------------------------- barrier pivot join
+@register(
+    "barrier_pivot",
+    """
+WITH pages AS (
+  SELECT CAST(o_orderkey % 997 AS BIGINT) AS ctx,
+         CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'OVERVIEW' WHEN 1 THEN 'MANAGER'
+              WHEN 2 THEN 'METRICS' ELSE 'INCREASE' END AS page_type,
+         concat('B', CAST(o_orderkey % 997 AS VARCHAR), '-', CAST(o_orderkey % 4 AS VARCHAR)) AS body
+  FROM orders WHERE o_orderkey % 11 <> 0)
+SELECT ctx,
+       max(CASE WHEN page_type = 'OVERVIEW' THEN body END) AS OVERVIEW,
+       max(CASE WHEN page_type = 'MANAGER' THEN body END) AS MANAGER,
+       max(CASE WHEN page_type = 'METRICS' THEN body END) AS METRICS,
+       max(CASE WHEN page_type = 'INCREASE' THEN body END) AS INCREASE
+FROM pages GROUP BY ctx
+HAVING count(DISTINCT page_type) = 4
+""",
+)
+def q_barrier_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pages = (
+        o.filter(k % 11 != 0)
+        .select(
+            (k % 997).alias("ctx"),
+            F.when((k % 4).cast("int") == 0, "OVERVIEW")
+            .when((k % 4).cast("int") == 1, "MANAGER")
+            .when((k % 4).cast("int") == 2, "METRICS")
+            .otherwise("INCREASE")
+            .alias("page_type"),
+            F.concat(F.lit("B"), (k % 997).cast("string"), F.lit("-"),
+                     (k % 4).cast("string")).alias("body"),
+        )
+    )
+    pivoted = pages.groupBy("ctx").pivot("page_type", PAGE_TYPES).agg(F.max("body"))
+    cond = None
+    for p in PAGE_TYPES:
+        c = F.col(p).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return pivoted.filter(cond)
+
+
+# ------------------------------------------------ fetch success filter
+@register(
+    "fetch_success_filter",
+    """
+WITH f AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN 503 ELSE 200 END AS status,
+         CASE WHEN event_id % 17 = 0 THEN '' ELSE 'payload' END AS body
+  FROM events)
+SELECT event_id FROM f WHERE status = 200 AND length(body) > 0
+""",
+)
+def q_fetch_success_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    f = e.select(
+        "event_id",
+        F.when(k % 13 == 0, 503).otherwise(200).alias("status"),
+        F.when(k % 17 == 0, F.lit("")).otherwise(F.lit("payload")).alias("body"),
+    )
+    # success predicate: status==200 AND non-empty (downloader.py:109-111)
+    return f.filter((F.col("status") == 200) & (F.length("body") > 0)).select("event_id")
+
+
+# --------------------------------------- sliding-window fail rate (ring)
+@register(
+    "sliding_failrate",
+    """
+WITH waves AS (
+  SELECT concat('h', CAST(user_id % 3 AS VARCHAR)) AS host,
+         CAST(event_id % 40 AS INT) AS wave,
+         count(*) FILTER (WHERE event_id % 10 < 2) AS n_fail,
+         count(*) AS n_total
+  FROM events GROUP BY 1, 2)
+SELECT host, wave,
+  CAST(sum(n_fail) OVER w AS BIGINT) AS fail10,
+  CAST(sum(n_total) OVER w AS BIGINT) AS total10,
+  CAST(sum(n_fail) OVER w AS DOUBLE) / sum(n_total) OVER w AS fail_rate
+FROM waves
+WINDOW w AS (PARTITION BY host ORDER BY wave ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_sliding_failrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    waves = (
+        e.groupBy(
+            F.concat(F.lit("h"), (F.col("user_id") % 3).cast("string")).alias("host"),
+            (F.col("event_id") % 40).cast("int").alias("wave"),
+        )
+        .agg(
+            F.count_if(F.col("event_id") % 10 < 2).alias("n_fail"),
+            F.count("*").alias("n_total"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("wave").rowsBetween(-9, 0)
+    return waves.select(
+        "host", "wave",
+        F.sum("n_fail").over(w).alias("fail10"),
+        F.sum("n_total").over(w).alias("total10"),
+        (F.sum("n_fail").over(w).cast("double") / F.sum("n_total").over(w)).alias("fail_rate"),
+    )
+
+
+# -------------------------------------- retry-first priority admission
+@register(
+    "retry_priority_admission",
+    """
+WITH fr AS (
+  SELECT concat('h', CAST(l_suppkey % 5 AS VARCHAR)) AS host,
+         CAST(l_linenumber % 3 AS INT) AS retry_count,
+         CAST(l_partkey % 100 AS BIGINT) AS priority,
+         l_orderkey AS seed_index,
+         CAST(l_linenumber % 4 AS INT) AS page_ordinal,
+         l_orderkey * 10 + l_linenumber AS uid
+  FROM lineitem)
+SELECT host, rank, uid FROM (
+  SELECT host, uid,
+         row_number() OVER (PARTITION BY host
+           ORDER BY retry_count DESC, priority ASC, seed_index ASC, page_ordinal ASC, uid ASC) AS rank
+  FROM fr) WHERE rank <= 12
+""",
+)
+def q_retry_priority_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    fr = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 5).cast("string")).alias("host"),
+        (F.col("l_linenumber") % 3).cast("int").alias("retry_count"),
+        (F.col("l_partkey") % 100).alias("priority"),
+        F.col("l_orderkey").alias("seed_index"),
+        (F.col("l_linenumber") % 4).cast("int").alias("page_ordinal"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+    )
+    ranked = grouped_topk(
+        fr,
+        ["host"],
+        [F.col("retry_count").desc(), F.col("priority").asc(),
+         F.col("seed_index").asc(), F.col("page_ordinal").asc(), F.col("uid").asc()],
+        12,
+        rank_col="rank",
+        salt_cols=["uid"],
+    )
+    return ranked.select("host", "rank", "uid")
+
+
+# --------------------------------------------------- seen-set anti join
+@register(
+    "anti_join_seen",
+    """
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 = 0)
+""",
+)
+def q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.join(F.broadcast(seen), "o_custkey", "left_anti").select("o_orderkey")
+
+
+@register(
+    "semi_join_hosts",
+    """
+SELECT o_orderkey FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+""",
+)
+def q_semi_join_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    hosts = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.join(F.broadcast(hosts), "o_custkey", "left_semi").select("o_orderkey")
+
+
+# ----------------------------------------------- frontier union update
+@register(
+    "union_frontier",
+    """
+WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000),
+     u AS (SELECT DISTINCT o_orderkey, o_orderstatus FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+SELECT o_orderstatus, count(*) AS n FROM u GROUP BY o_orderstatus
+""",
+)
+def q_union_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    return (
+        a.unionByName(b).distinct().groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------- seen cardinality crosscheck
+@register(
+    "seen_cardinality",
+    """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_seen_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_distinct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------- broadcast dim join
+@register(
+    "broadcast_dims_agg",
+    """
+SELECT r.r_name AS region, count(*) AS n_orders, max(o.o_totalprice) AS max_price
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY r.r_name
+""",
+)
+def q_broadcast_dims_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_orders"), F.max("o_totalprice").alias("max_price"))
+    )
+
+
+# ----------------------------------------------------------- date math
+@register(
+    "date_math_tenure",
+    f"""
+SELECT CAST(floor(datediff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') / 365) AS INT) AS years_bucket,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+)
+def q_date_math_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.lit(AS_OF).cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        o.select(F.floor(days / 365).cast("int").alias("years_bucket"))
+        .groupBy("years_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ----------------------------------------------------- AIMD step math
+@register(
+    "aimd_step_math",
+    """
+SELECT DISTINCT l_quantity AS cur,
+  CASE WHEN l_quantity < 12 THEN greatest(0.01, pow((12 - l_quantity) / 12, 2) * 0.1)
+       ELSE 0.01 END AS step,
+  least(160.0, greatest(6.0, l_quantity +
+    CASE WHEN l_quantity < 12 THEN greatest(0.01, pow((12 - l_quantity) / 12, 2) * 0.1)
+         ELSE 0.01 END)) AS next_budget
+FROM lineitem
+""",
+)
+def q_aimd_step_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cur = F.col("l_quantity")
+    step = F.when(
+        cur < 12, F.greatest(F.lit(0.01), F.pow((F.lit(12) - cur) / 12, 2) * 0.1)
+    ).otherwise(F.lit(0.01))
+    return li.select(
+        cur.alias("cur"),
+        step.alias("step"),
+        F.least(F.lit(160.0), F.greatest(F.lit(6.0), cur + step)).alias("next_budget"),
+    ).distinct()
+
+
+# ------------------------------------------------- deterministic UA pick
+@register(
+    "ua_pick",
+    """
+SELECT p_partkey, concat('UA-', lpad(CAST((p_partkey * 2654435761) % 22 AS VARCHAR), 2, '0')) AS ua
+FROM part
+""",
+)
+def q_ua_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    idx = (F.col("p_partkey") * F.lit(2654435761)) % 22
+    return p.select(
+        "p_partkey",
+        F.concat(F.lit("UA-"), F.lpad(idx.cast("string"), 2, "0")).alias("ua"),
+    )
+
+
+# ------------------------------------------------------- JSON output
+@register(
+    "json_result",
+    """
+SELECT n_nationkey, to_json(struct_pack(name := n_name, region := n_regionkey)) AS js
+FROM nation
+""",
+)
+def q_json_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.to_json(F.struct(F.col("n_name").alias("name"),
+                           F.col("n_regionkey").alias("region"))).alias("js"),
+    )
+
+
+# ------------------------------------------------------ CSV None fill
+@register(
+    "csv_none_fill",
+    """
+SELECT c_custkey,
+       coalesce(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END, 'None') AS segment
+FROM customer
+""",
+)
+def q_csv_none_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_mktsegment"))
+    return c.select("c_custkey", s.alias("segment")).na.fill({"segment": "None"})
+
+
+# ---------------------------------------------- events sliding window
+@register(
+    "events_user_window",
+    """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(value * 1000000) AS BIGINT) AS micro
+  FROM events)
+SELECT user_id, event_id,
+  CAST(sum(micro) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum5
+FROM e
+""",
+)
+def q_events_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1000000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-4, 0)
+    return e.select(
+        "user_id", "event_id", F.sum(micro).over(w).alias("sum5")
+    )
+
+
+# ------------------------------------------------- phash hamming (bit ops)
+@register(
+    "phash_hamming",
+    """
+SELECT p_partkey, bit_count(xor(CAST(p_partkey * 2654435761 AS BIGINT),
+                                CAST(p_partkey * 40503 AS BIGINT))) AS hamming
+FROM part
+""",
+)
+def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = (F.col("p_partkey") * F.lit(2654435761)).cast("long")
+    b = (F.col("p_partkey") * F.lit(40503)).cast("long")
+    return p.select("p_partkey", F.bit_count(a.bitwiseXOR(b)).alias("hamming"))
+
+
+# =====================================================================
+# training-data pipeline ops over documents / embeddings
+# =====================================================================
+
+# cross-engine polynomial hash (textstats.poly_hash) as inline DuckDB SQL
+def _poly_sql(g: str) -> str:
+    return (
+        f"(list_reduce(list_transform(range(1, length({g}) + 1), "
+        f"ch_i -> ascii(substr({g}, CAST(ch_i AS INT), 1)) * (ch_i * 31)), "
+        f"(x, y) -> x + y) % 2147483647)"
+    )
+
+
+_SHINGLES_SQL = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, greatest(length(text) - 2, 1) + 1), "
+    "sh_i -> substr(text, CAST(sh_i AS INT), 3))))"
+)
+
+
+# ------------------------------------------------------- exact dedup
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------- token counting (2 ways)
+@register(
+    "token_count",
+    r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).cast("int").alias("n_tokens"))
+
+
+# ------------------------------------------------------ quality score
+@register(
+    "quality_score",
+    r"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct_ratio,
+    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+      / greatest(length(text), 1) AS space_ratio,
+    CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4
+       + (length(lower(text)) - length(replace(lower(text), ' to ', ''))) / 4
+       + (length(lower(text)) - length(replace(lower(text), ' in ', ''))) / 4 AS BIGINT)
+      AS stopword_hits
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, space_ratio, stopword_hits,
+  least(n_chars / 500.0, 1.0) * 0.4
+    + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3
+    + least(CAST(stopword_hits AS DOUBLE) / 5.0, 1.0) * 0.3 AS quality
+FROM f
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["space_ratio"].alias("space_ratio"),
+        feats["stopword_hits"].alias("stopword_hits"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# --------------------------------------------------------- language ID
+@register(
+    "lang_id",
+    """
+WITH s AS (
+  SELECT doc_id,
+    CAST(((length(p) - length(replace(p, ' the ', ''))) / 5
+        + (length(p) - length(replace(p, ' and ', ''))) / 5
+        + (length(p) - length(replace(p, ' is ', ''))) / 4) AS BIGINT) AS en,
+    CAST(((length(p) - length(replace(p, ' der ', ''))) / 5
+        + (length(p) - length(replace(p, ' und ', ''))) / 5
+        + (length(p) - length(replace(p, ' die ', ''))) / 5) AS BIGINT) AS de,
+    CAST(((length(p) - length(replace(p, ' le ', ''))) / 4
+        + (length(p) - length(replace(p, ' la ', ''))) / 4
+        + (length(p) - length(replace(p, ' est ', ''))) / 5) AS BIGINT) AS fr,
+    CAST(((length(p) - length(replace(p, ' el ', ''))) / 4
+        + (length(p) - length(replace(p, ' de la ', ''))) / 7
+        + (length(p) - length(replace(p, ' es ', ''))) / 4) AS BIGINT) AS es
+  FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents))
+SELECT doc_id,
+  CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+       WHEN en = greatest(en, de, fr, es) THEN 'en'
+       WHEN de = greatest(en, de, fr, es) THEN 'de'
+       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM s
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+# ------------------------------------------------- document fingerprint
+@register(
+    "doc_fingerprint",
+    f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                   sh_i -> substr(text, CAST(sh_i AS INT), 3)) AS grams
+  FROM documents),
+hs AS (
+  SELECT doc_id, list_transform(grams, g -> {_poly_sql('g')}) AS hashes FROM sh)
+SELECT doc_id,
+  list_reduce(hashes, (acc, h) -> (acc * 33 + h) % 2147483647) AS fp
+FROM hs
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------- minhash signature
+@register(
+    "minhash_signature",
+    f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents),
+hs AS (SELECT doc_id, list_transform(grams, g -> {_poly_sql('g')}) AS hashes FROM sh),
+sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), mh_i ->
+      list_min(list_transform(hashes,
+        h -> (h * (mh_i * 2 + 1) + (mh_i * 7 + 3)) % 2147483647))) AS sig
+  FROM hs)
+SELECT doc_id,
+  list_aggregate(list_transform(sig, s -> CAST(s AS VARCHAR)), 'string_agg', '-') AS sig_str
+FROM sig
+""",
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), 16)
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", F.transform(sig, lambda s: s.cast("string"))).alias("sig_str"),
+    )
+
+
+# ----------------------------------------------------------- simhash
+@register(
+    "simhash",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks
+  FROM documents),
+hs AS (SELECT doc_id, list_transform(toks, t -> {_poly_sql('t')}) AS hashes FROM tok)
+SELECT doc_id,
+  list_reduce(list_transform(range(0, 32), bit_j ->
+    CASE WHEN list_reduce(list_transform(hashes,
+           h -> CASE WHEN ((h >> CAST(bit_j AS INT)) & 1) = 1 THEN 1 ELSE -1 END),
+           (x, y) -> x + y) > 0
+         THEN (CAST(1 AS BIGINT) << CAST(bit_j AS INT)) ELSE CAST(0 AS BIGINT) END),
+    (x, y) -> x + y) AS simhash
+FROM hs
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+
+
+# -------------------------------- near-dup pairs: MinHash LSH + verify
+@register(
+    "neardup_jaccard",
+    f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.grams, b.grams))
+    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))
+    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.85
+""",
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH banding (32 hashes x 16 bands) -> exact-Jaccard verification;
+    # at threshold 0.85 band-recall is 1 - (1-s^2)^16 ~ 1-3e-12 so the
+    # verified candidate set equals the exact pair set the oracle scans.
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.85, n_hashes=32, bands=16
+    )
+
+
+# ------------------------------------------- embedding top-k (cosine)
+@register(
+    "embedding_topk",
+    """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+        list_dot_product(qv, ve)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS sim
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# -------------------------------------- embedding cosine near-dup pairs
+@register(
+    "embedding_neardup",
+    """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM base)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.ve, b.ve)
+    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.ve, b.ve)
+    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.95
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(dup)
+    pairs = cosine_near_dup_pairs(base, threshold=0.95, n_planes=6)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))

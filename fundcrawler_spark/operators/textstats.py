@@ -1,0 +1,182 @@
+"""Text-analysis operators over a documents table — pure Column
+expressions (JVM-side, codegen'd), designed so a DuckDB oracle can
+reproduce them exactly (no engine-specific hash functions).
+
+Ops: token counting, quality scoring, n-gram language ID heuristic,
+polynomial rolling-hash document fingerprint, character shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P31 = 2147483647  # 2^31-1, keeps all polynomial math far below 2^63
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count; empty/blank -> 0."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: words + digits + punctuation as separate
+    tokens (a cheap BPE proxy: split on boundaries between character
+    classes)."""
+    pieces = F.split(F.trim(text), r"\s+|(?<=[a-zA-Z])(?=\d)|(?<=\d)(?=[a-zA-Z])|(?=[^\w\s])")
+    return F.size(F.filter(pieces, lambda x: F.length(x) > 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features (the classic
+    pretraining quality heuristics)."""
+    n_chars = F.length(text)
+    n_spaces = n_chars - F.length(F.regexp_replace(text, " ", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    n_tokens = token_count(text)
+    lower = F.lower(text)
+    n_stop = sum(
+        (
+            F.length(lower)
+            - F.length(F.regexp_replace(lower, f" {w} ", ""))
+        ) / (len(w) + 2)
+        for w in ("the", "and", "of", "to", "in")
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))),
+        "space_ratio": (n_spaces.cast("double") / F.greatest(n_chars, F.lit(1))),
+        "stopword_hits": n_stop.cast("long"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: rewards mid-length docs with normal
+    punctuation and stopword density."""
+    f = quality_features(text)
+    len_score = F.least(f["n_chars"] / F.lit(500.0), F.lit(1.0))
+    punct_ok = F.when(f["punct_ratio"] < 0.1, 1.0).otherwise(0.5)
+    stop_score = F.least(f["stopword_hits"].cast("double") / F.lit(5.0), F.lit(1.0))
+    return (len_score * 0.4 + punct_ok * 0.3 + stop_score * 0.3).alias("quality")
+
+
+# Language-ID heuristic: stopword-marker hit counts per language.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " is "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " est "],
+    "es": [" el ", " de la ", " es "],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    lower = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            # occurrence count via length difference
+            c = (F.length(lower) - F.length(F.regexp_replace(lower, m, ""))) / len(m)
+            score = c if score is None else score + c
+        out[lang] = score.cast("long")
+    return out
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax language by marker hits; ties + zero -> 'und'. Expressed
+    as a greatest() cascade so the oracle can mirror it."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = tie-break priority
+        expr = expr.when(s[lang] == best, F.lit(lang))
+    return expr
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams — array_sort'd so both engines agree
+    on representation."""
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+                lambda i: F.substring(text, i, n),
+            )
+        )
+    )
+
+
+def poly_hash(s: Column) -> Column:
+    """Deterministic cross-engine string hash: sum of
+    codepoint(char_i) * (i * 31) mod P31 — pure integer Column math,
+    reproducible in DuckDB SQL (no xxhash/md5-to-int needed)."""
+    return F.pmod(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+                lambda i: F.ascii(F.substring(s, i, 1)).cast("long") * (i.cast("long") * 31),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(P31),
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """64-bit-safe rolling fingerprint of the whole document: polynomial
+    hash over shingle hashes (order-sensitive base-33 rolling mix)."""
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - 2, F.lit(1))),
+        lambda i: F.substring(text, i, 3),
+    )
+    hashes = F.transform(sh, lambda g: poly_hash(g))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * 33 + h, F.lit(P31)),
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature over 3-gram shingles using the (a*h+b) mod P31
+    family with a_i = 2i+1, b_i = 7i+3 — all integer Column math, fully
+    oracle-reproducible."""
+    sh = char_shingles(text, 3)
+    hashes = F.transform(sh, lambda g: poly_hash(g))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(h * (i.cast("long") * 2 + 1) + (i.cast("long") * 7 + 3), F.lit(P31)),
+            )
+        ),
+    )
+
+
+def simhash32(text: Column, n_bits: int = 32) -> Column:
+    """32-bit SimHash over whitespace tokens hashed with poly_hash:
+    bit j set iff sum over tokens of sign((token_hash >> j) & 1) > 0.
+    Shift amounts must be Python ints in Spark, so the bit loop unrolls
+    at plan-build time (n_bits literal terms, all JVM-side)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: F.length(x) > 0)
+    hashes = F.transform(toks, lambda t: poly_hash(t))
+
+    def _term(j: int):
+        # closure factory: Spark introspects lambda arity, so defaults
+        # like `lambda acc, h, j=j` are rejected as 3-arg lambdas
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    total = F.lit(0).cast("long")
+    for j in range(n_bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _term(j))
+        total = total + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
