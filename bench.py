@@ -1,0 +1,192 @@
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline suite = representative operators across the engine: flagship
+analysis, regex projection, barrier pivot, admission window, anti-join
+dedup, sliding fail-rate, exact + LSH dedup, embedding top-k, plus two
+engine-level throughput numbers (crawl pages/s and frontier ops/s).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_SKIP_CRAWL=1 to run only the query suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "analysis_topk",
+    "regex_overview",
+    "barrier_pivot",
+    "retry_priority_admission",
+    "anti_join_seen",
+    "sliding_failrate",
+    "seen_cardinality",
+    "dedup_exact",
+    "quality_score",
+    "doc_fingerprint",
+    "neardup_jaccard",
+    "embedding_topk",
+]
+
+
+def _drain(df) -> int:
+    """Force full execution without collecting rows to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_crawl(spark) -> dict:
+    """pages/s on a warm politeness budget (the AIMD cold-start is
+    correctness-tested elsewhere; here we measure engine throughput)."""
+    from fundcrawler_spark import fixtures as fx
+    from fundcrawler_spark.plans.wave_loop import Crawler, CrawlConfig
+    from fundcrawler_spark.schemas import SEEDS_SCHEMA
+
+    n_seeds = int(os.environ.get("BENCH_SEEDS", "2000"))
+    seeds = spark.createDataFrame(fx.seed_rows(n_seeds), SEEDS_SCHEMA)
+    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        cfg = CrawlConfig(
+            fail_rate=0.0, max_waves=200, n_shards=32,
+            init_budget=160.0, max_budget=160,
+        )
+        t0 = time.time()
+        stats = Crawler(spark, wd, cfg).run(seeds=seeds, log=lambda *a: None)
+        dt = time.time() - t0
+        return {
+            "crawl_sec": round(dt, 2),
+            "crawl_pages": stats["pages_fetched"],
+            "crawl_waves": stats["waves"],
+            "pages_per_sec": round(stats["pages_fetched"] / dt, 2),
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def bench_frontier_ops(spark) -> dict:
+    """frontier-ops/s: canonicalize+hash+salt, bloom probe, admission
+    rank, broadcast anti-join over a synthetic multi-host frontier."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.functions.urlnorm import canonicalize_url, host_salt, url_hash, url_host
+    from fundcrawler_spark.operators.politeness import admit
+    from fundcrawler_spark.operators.seen import SeenSet
+
+    n = int(os.environ.get("BENCH_FRONTIER_ROWS", "2000000"))
+    t0 = time.time()
+    raw = spark.range(0, n).select(
+        F.concat(
+            F.lit("https://WWW.Host"), (F.col("id") % 64).cast("string"),
+            F.lit(".example.com//p//"), F.col("id").cast("string"), F.lit("/"),
+        ).alias("url"),
+        (F.col("id") % 4).cast("int").alias("pt_i"),
+        F.col("id").alias("seed_index"),
+    )
+    fr = (
+        raw.withColumn("url_norm", canonicalize_url(F.col("url")))
+        .withColumn("url_hash", url_hash(F.col("url_norm")))
+        .withColumn("host", url_host(F.col("url_norm")))
+        .withColumn("host_salt", host_salt(F.col("host"), 32))
+        .withColumn(
+            "page_type",
+            F.element_at(
+                F.array(F.lit("OVERVIEW"), F.lit("MANAGER"), F.lit("METRICS"), F.lit("INCREASE")),
+                F.col("pt_i") + 1,
+            ),
+        )
+        .withColumn("retry_count", (F.col("seed_index") % 3).cast("int"))
+        .withColumn("priority", F.col("seed_index") % 1000)
+        .withColumn("wave", F.lit(0).cast("int"))
+        .drop("pt_i")
+    )
+    fr = fr.repartition(CPUS, "url_hash").persist()
+    n_rows = fr.count()
+    t_build = time.time() - t0
+
+    # bloom probe+insert over shards
+    ss = SeenSet(spark, n_shards=64, capacity_per_shard=200_000)
+    t0 = time.time()
+    shards = ss.insert(ss.empty_shards(), fr.filter(F.col("seed_index") % 2 == 0).select("url_hash"))
+    shards.persist().count()
+    probed = ss.probe(shards, fr.select("url_hash", "seed_index"))
+    n_seen = probed.filter(F.col("seen")).count()
+    t_seen = time.time() - t0
+
+    # admission: 64 hosts x budget 160
+    budgets = {f"host{i}.example.com": 160 for i in range(64)}
+    t0 = time.time()
+    admitted = admit(fr, budgets, 160)
+    n_adm = admitted.persist().count()
+    t_admit = time.time() - t0
+
+    # frontier update: broadcast anti join
+    t0 = time.time()
+    rest = fr.join(F.broadcast(admitted.select("url_hash")), "url_hash", "left_anti")
+    n_rest = rest.count()
+    t_anti = time.time() - t0
+
+    fr.unpersist()
+    admitted.unpersist()
+    shards.unpersist()
+    total = t_build + t_seen + t_admit + t_anti
+    return {
+        "frontier_rows": n_rows,
+        "frontier_build_sec": round(t_build, 2),
+        "seen_probe_sec": round(t_seen, 2),
+        "admit_sec": round(t_admit, 2),
+        "anti_join_sec": round(t_anti, 2),
+        "frontier_ops_per_sec": round(3 * n_rows / max(total - t_build, 1e-9), 0),
+        "_sanity": {"n_seen": n_seen, "n_admitted": n_adm, "n_rest": n_rest},
+    }
+
+
+def main() -> None:
+    from fundcrawler_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    queries = bench_queries(spark)
+    extras = {}
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        extras.update(bench_crawl(spark))
+        extras.update(bench_frontier_ops(spark))
+    spark.stop()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline suite wall time (pages/s + frontier-ops/s in extras)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

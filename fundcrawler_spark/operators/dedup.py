@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import char_shingles, minhash_signature, simhash32
+from .textstats import char_shingles, simhash32
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -65,6 +65,41 @@ def jaccard_pairs(
     )
 
 
+def _minhash_kernel(docs: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
+    """(id, sh, n_sh, sig) via mapInPandas — numpy minhash identical to
+    textstats.minhash_signature's Column math."""
+    import numpy as np
+    import pandas as pd
+
+    P = 2147483647
+    A = np.arange(n_hashes, dtype=np.int64) * 2 + 1
+    B = np.arange(n_hashes, dtype=np.int64) * 7 + 3
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, shs, sigs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                n = max(len(t) - 2, 1)
+                grams = list({t[j:j + 3] for j in range(n)})
+                hs = np.array(
+                    [sum(ord(c) * (k + 1) * 31 for k, c in enumerate(g)) % P for g in grams],
+                    dtype=np.int64,
+                )
+                sig = ((hs[None, :] * A[:, None] + B[:, None]) % P).min(axis=1)
+                ids.append(i)
+                shs.append(grams)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"id": ids, "sh": shs, "sig": sigs})
+
+    out_schema = "id long, sh array<string>, sig array<long>"
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(kernel, out_schema)
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -77,31 +112,32 @@ def minhash_lsh_pairs(
     verification. Output identical shape to jaccard_pairs; at high
     thresholds recall ~1 while touching only bucket-colliding pairs."""
     rows_per_band = n_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), 3).alias("sh"),
-        minhash_signature(F.col(text_col), n_hashes).alias("sig"),
-    ).withColumn("n_sh", F.size("sh"))
+    # Signatures come from a vectorized Arrow kernel: higher-order
+    # Column functions are interpreted row-at-a-time on the JVM and the
+    # 32 min-probes over ~500 gram hashes per doc cost ~100ms/doc that
+    # way; the numpy kernel is ~1000x cheaper and uses the exact same
+    # integer arithmetic (poly hash mod 2^31-1, (2i+1)h + (7i+3) mod p).
+    sig = _minhash_kernel(docs, id_col, text_col, n_hashes).persist()
+
     banded = sig.select(
         "id",
-        "sh",
-        "n_sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
                     F.concat_ws(
                         "-", F.slice("sig", b * rows_per_band + 1, rows_per_band)
                     ).alias("key"),
-                ),
-            )
+                )
+                for b in range(bands)
+            ])
         ).alias("bk"),
-    ).select("id", "sh", "n_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    # self-join would otherwise recompute the (expensive) signature
-    # expression tree on both sides — materialize it once
-    banded = banded.persist()
+    # Candidate pairs are (id, id) ONLY — carrying the shingle arrays
+    # through the join + dropDuplicates shuffle is what kills this shape
+    # (each row would drag ~KBs of strings through an exchange). Dedup
+    # the skinny pairs, then re-attach shingles from the cached sig df.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -110,20 +146,18 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                      F.col("n_sh").alias("n_a"))
+    sh_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                      F.col("n_sh").alias("n_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -83,18 +83,27 @@ class HostRate:
 
 
 class BudgetTable:
-    """host -> HostRate; the driver-side politeness budget between waves."""
+    """host -> HostRate; the driver-side politeness budget between waves.
 
-    def __init__(self, max_num: float = 160.0):
+    ``init_cur`` overrides the reference's cold-start cur=1.0 (useful
+    for benchmarks where the AIMD warm-up is not the thing measured).
+    """
+
+    def __init__(self, max_num: float = 160.0, init_cur: float | None = None):
         self.max_num = max_num
+        self.init_cur = init_cur
         self.rates: dict[str, HostRate] = {}
         self.budgets: dict[str, int] = {}
 
+    def _new_rate(self) -> HostRate:
+        r = HostRate(max_num=self.max_num)
+        if self.init_cur is not None:
+            r.cur = r.last = float(self.init_cur)
+        return r
+
     def budget_for(self, host: str) -> int:
         if host not in self.budgets:
-            self.budgets[host] = self.rates.setdefault(
-                host, HostRate(max_num=self.max_num)
-            ).update(0, 0)
+            self.budgets[host] = self.rates.setdefault(host, self._new_rate()).update(0, 0)
         return self.budgets[host]
 
     def observe_wave(self, counts: dict[str, tuple[int, int]], hosts_seen: set[str]) -> dict[str, int]:
@@ -103,7 +112,7 @@ class BudgetTable:
         per host per wave."""
         for host in hosts_seen:
             s, f = counts.get(host, (0, 0))
-            rate = self.rates.setdefault(host, HostRate(max_num=self.max_num))
+            rate = self.rates.setdefault(host, self._new_rate())
             self.budgets[host] = rate.update(s, f)
         return dict(self.budgets)
 

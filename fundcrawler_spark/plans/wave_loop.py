@@ -51,6 +51,7 @@ class CrawlConfig:
     max_retries: int | None = 10       # None = reference's infinite default
     max_waves: int = 200
     max_budget: int = 160              # cpu*5 analog (rate_control.py:30)
+    init_budget: float | None = None   # warm-start AIMD cur (bench only)
     shard_capacity: int = 1_000_000
     robots_by_host: dict = field(default_factory=dict)
     agent: str = "fundcrawler"
@@ -152,7 +153,7 @@ class Crawler:
             # an empty set; meaningful when seeding an existing crawl)
             probed = self.seen.probe(shards, frontier0)
             frontier = probed.filter(~F.col("seen")).drop("seen")
-            budgets = BudgetTable(max_num=float(cfg.max_budget))
+            budgets = BudgetTable(max_num=float(cfg.max_budget), init_cur=cfg.init_budget)
             wave, order_offset = 0, 0
 
         while wave < cfg.max_waves:
