@@ -111,7 +111,7 @@ def bench_frontier_ops(spark) -> dict:
         raw.withColumn("url_norm", canonicalize_url(F.col("url")))
         .withColumn("url_hash", url_hash(F.col("url_norm")))
         .withColumn("host", url_host(F.col("url_norm")))
-        .withColumn("host_salt", host_salt(F.col("host"), 32))
+        .withColumn("host_salt", host_salt(F.col("host"), 32, F.col("url_norm")))
         .withColumn(
             "page_type",
             F.element_at(

@@ -84,8 +84,13 @@ def url_hash(url_norm: Column) -> Column:
     return F.xxhash64(url_norm)
 
 
-def host_salt(host: Column, n_salts: int, salt_round: int = 0) -> Column:
-    """Skew-killing salt: spreads one dominant host (eastmoney case) over
-    ``n_salts`` sub-partitions for *queue management* while the politeness
-    budget still serializes *admission* per host (SURVEY.md §4.2)."""
-    return F.pmod(F.xxhash64(host, F.lit(salt_round)), F.lit(n_salts)).cast("int")
+def host_salt(host: Column, n_salts: int, row_key: Column | None = None) -> Column:
+    """Skew-killing salt: spreads ONE dominant host (the eastmoney case)
+    over ``n_salts`` sub-partitions for *queue management* while the
+    politeness budget still serializes *admission* per host (SURVEY.md
+    §4.2). The salt MUST vary within a host — ``row_key`` (normally the
+    canonical URL) is hashed together with the host; a host-only salt
+    would put the dominant host's whole queue back on one partition."""
+    if row_key is None:
+        return F.pmod(F.xxhash64(host), F.lit(n_salts)).cast("int")
+    return F.pmod(F.xxhash64(host, row_key), F.lit(n_salts)).cast("int")

@@ -34,7 +34,7 @@ def seeds_to_frontier(seeds: DataFrame, n_salts: int = 32) -> DataFrame:
     df = (
         df.withColumn("url_hash", url_hash(F.col("url_norm")))
         .withColumn("host", url_host(F.col("url_norm")))
-        .withColumn("host_salt", host_salt(F.col("host"), n_salts))
+        .withColumn("host_salt", host_salt(F.col("host"), n_salts, F.col("url_norm")))
         .withColumn("retry_count", F.lit(0).cast("int"))
         .withColumn("priority", F.col("seed_index"))
         .withColumn("wave", F.lit(0).cast("int"))
@@ -67,7 +67,7 @@ def requeue_failures(frontier_rest: DataFrame, fetched: DataFrame, next_wave: in
             (F.col("retry_count") + 1).alias("retry_count"),
         )
         .withColumn("url_norm", canonicalize_url(F.col("url")))
-        .withColumn("host_salt", host_salt(F.col("host"), 32))
+        .withColumn("host_salt", host_salt(F.col("host"), 32, F.col("url_norm")))
         .withColumn("priority", F.col("seed_index"))
         .withColumn("wave", F.lit(next_wave).cast("int"))
         .select(

@@ -138,25 +138,36 @@ def with_page_ordinal(df: DataFrame) -> DataFrame:
 def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int) -> DataFrame:
     """Rank candidates per host, keep rank <= that host's budget.
 
-    Two-phase: salted local top-K at k=max_budget (cheap, even shuffle),
-    then the exact per-host rank over <= n_salts*max_budget survivors.
-    Hosts with budget 0 are pruned before any shuffle.
+    Physical shape: the ranking shuffles ONLY the slim scheduling
+    columns (host, retry, priority, seed, ordinal, url_hash) — the wide
+    frontier rows (urls are ~100s of bytes each) never enter the sort
+    exchanges; the budget-bounded winner set is broadcast-joined back
+    onto the frontier at the end. Two-phase rank: salted local top-K at
+    k=max_budget (even shuffle), then the exact per-host rank over
+    <= n_salts*max_budget survivors. Hosts with budget 0 are pruned
+    before any shuffle.
     """
     spark = frontier.sparkSession
     b_items = [(h, int(b)) for h, b in budgets.items()]
     bdf = spark.createDataFrame(b_items, "host string, budget int") if b_items else None
-    cand = with_page_ordinal(frontier)
+    slim = with_page_ordinal(
+        frontier.select("host", "retry_count", "priority", "seed_index",
+                        "page_type", "url_hash")
+    ).drop("page_type")
     if bdf is not None:
-        cand = cand.join(F.broadcast(bdf), "host", "left").na.fill({"budget": 0})
+        slim = slim.join(F.broadcast(bdf), "host", "left").na.fill({"budget": 0})
     else:
-        cand = cand.withColumn("budget", F.lit(0))
-    cand = cand.filter(F.col("budget") > 0)
+        slim = slim.withColumn("budget", F.lit(0))
+    slim = slim.filter(F.col("budget") > 0)
     ranked = grouped_topk(
-        cand,
+        slim,
         ["host"],
         admission_order(),
         max(max_budget, 1),
         rank_col="host_rank",
         salt_cols=["seed_index", "page_ordinal", "retry_count"],
     )
-    return ranked.filter(F.col("host_rank") <= F.col("budget")).drop("budget")
+    winners = ranked.filter(F.col("host_rank") <= F.col("budget")).select(
+        "url_hash", "host_rank"
+    )
+    return frontier.join(F.broadcast(winners), "url_hash")

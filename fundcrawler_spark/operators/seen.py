@@ -236,8 +236,62 @@ class SeenSet:
     def shard_col(self, url_hash_col):
         return F.pmod(url_hash_col, F.lit(self.n_shards)).cast("int")
 
-    def probe(self, shards: DataFrame, candidates: DataFrame) -> DataFrame:
-        """candidates(+url_hash) -> same rows + boolean ``seen``."""
+    # total blob bytes below this -> ship filters to executors instead of
+    # shuffling the (frontier-sized) candidate set into a cogroup
+    BROADCAST_PROBE_BYTES = 512 * 1024 * 1024
+
+    def probe(self, shards: DataFrame, candidates: DataFrame,
+              mode: str = "auto") -> DataFrame:
+        """candidates(+url_hash) -> same rows + boolean ``seen``.
+
+        Two physical strategies (same result):
+          * broadcast: blobs -> every executor, mapInPandas over the
+            candidates IN PLACE — zero shuffle of the big side. Right
+            whenever the seen-set fits executor memory (<= ~512 MB).
+          * cogroup: shuffle candidates by shard_id, join each slice
+            with its blob — the 10^10-key path (12 GB of blobs never
+            ships anywhere whole).
+        """
+        if mode == "auto":
+            total = shards.select(F.sum(F.length("blob")).alias("b")).first()["b"] or 0
+            mode = "broadcast" if total <= self.BROADCAST_PROBE_BYTES else "cogroup"
+        if mode == "broadcast":
+            return self._probe_broadcast(shards, candidates)
+        return self._probe_cogroup(shards, candidates)
+
+    def _probe_broadcast(self, shards: DataFrame, candidates: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        n_shards = self.n_shards
+        blob_map = {
+            r["shard_id"]: (r["kind"], bytes(r["blob"])) for r in shards.collect()
+        }
+        bc = candidates.sparkSession.sparkContext.broadcast(blob_map)
+        out_schema = T.StructType(
+            list(candidates.schema.fields) + [T.StructField("seen", T.BooleanType())]
+        )
+
+        def kernel(batches):
+            filters = {sid: load_shard(k, b) for sid, (k, b) in bc.value.items()}
+
+            def check(arr: np.ndarray) -> np.ndarray:
+                res = np.zeros(len(arr), dtype=bool)
+                sids = arr % n_shards  # pmod: numpy % matches for int64
+                for sid in np.unique(sids):
+                    f = filters.get(int(sid))
+                    if f is not None:
+                        m = sids == sid
+                        res[m] = f.contains(arr[m])
+                return res
+
+            for pdf in batches:
+                out = pdf.copy()
+                out["seen"] = check(pdf["url_hash"].to_numpy(dtype=np.int64))
+                yield out
+
+        return candidates.mapInPandas(kernel, out_schema)
+
+    def _probe_cogroup(self, shards: DataFrame, candidates: DataFrame) -> DataFrame:
         from pyspark.sql import types as T
 
         cand = candidates.withColumn("shard_id", self.shard_col(F.col("url_hash")))

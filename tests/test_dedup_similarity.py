@@ -1,0 +1,92 @@
+"""Dedup + similarity operator tests: LSH pipeline equals exact pairs,
+simhash blocking finds planted near-dups, phash image near-dup pairs,
+LSH top-k internal consistency."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fundcrawler_spark import fixtures as fx
+from fundcrawler_spark.functions import imaging
+from fundcrawler_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    phash_near_dups,
+    simhash_pairs,
+)
+from fundcrawler_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_equals_exact_pairs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.85).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.85, n_hashes=32, bands=16).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0, "sf0.001 documents should contain planted near-dups"
+
+
+def test_exact_dedup_identity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = exact_dedup(docs)
+    assert out.count() == docs.select("text").distinct().count()
+    assert out.agg(F.sum("n_copies")).first()[0] == docs.count()
+
+
+def test_simhash_pairs_find_planted_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # planted near-dups (jaccard >= 0.85) should mostly be simhash-close
+    planted = {tuple(sorted((r["id_a"], r["id_b"])))
+               for r in jaccard_pairs(docs, threshold=0.9).collect()}
+    found = {tuple(sorted((r["id_a"], r["id_b"])))
+             for r in simhash_pairs(docs, max_hamming=6).collect()}
+    if planted:
+        hit = len(planted & found) / len(planted)
+        assert hit >= 0.5, (hit, len(planted), len(found))
+
+
+def test_phash_near_dups(spark):
+    rows = fx.image_rows(24)
+    # plant a near-duplicate: re-encode row 0's image lossily under a new id
+    arr = imaging.decode_image(bytes(rows[0][1]), rows[0][4])
+    lossy = imaging.decode_image(imaging.encode_image(arr, "dctq"), "dctq")
+    dup = ("img_dup_0", None, None, None, None, None, imaging.phash64(lossy))
+    df = spark.createDataFrame(
+        [(r[0], r[6]) for r in rows] + [(dup[0], dup[6])],
+        "image_id string, phash long",
+    ).dropDuplicates(["image_id"])
+    pairs = {(r["id_a"], r["id_b"]) for r in phash_near_dups(df, max_hamming=6).collect()}
+    assert any(rows[0][0] in p and "img_dup_0" in p for p in pairs), pairs
+
+
+def test_lsh_topk_consistency(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    # ranks are 1..k without gaps per query, neighbors never the query
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    q = V[0] / np.linalg.norm(V[0])
+    sims = sorted(
+        ((float(np.dot(q, v / np.linalg.norm(v))), i) for i, v in V.items() if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = [i for _, i in sims[:3]]
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == expect

@@ -1,0 +1,46 @@
+"""Driver-contract smoke: entry() produces rows at sf0.001; every
+oracle key has a query; plan-shape audits (pushdown, broadcast)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"category", "rank", "fund_code"} <= set(df.columns)
+
+
+def test_queries_oracles_aligned():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
+
+
+def test_anti_join_is_broadcast(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    fn, _ = QUERIES["anti_join_seen"]
+    plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_parquet_scan_prunes_columns(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    fn, _ = QUERIES["seed_scan_slices"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # only c_custkey + c_name should be read from the customer scan
+    assert "c_custkey" in plan and "c_acctbal" not in plan
+
+
+def test_flagship_stays_codegen(spark):
+    df = entry_mod.entry(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan

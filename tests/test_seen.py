@@ -55,8 +55,13 @@ def test_distributed_probe_insert(spark):
     assert p0.filter(F.col("seen")).count() == 0
     shards = ss.insert(shards, cand.limit(200))
     assert shards.count() == 4
-    p1 = ss.probe(shards, cand)
-    seen_n = p1.filter(F.col("seen")).count()
-    assert 200 <= seen_n <= 205  # bloom FP allowance
+    for mode in ("broadcast", "cogroup"):
+        p1 = ss.probe(shards, cand, mode=mode)
+        seen_n = p1.filter(F.col("seen")).count()
+        assert 200 <= seen_n <= 205, mode  # bloom FP allowance
+    # both physical strategies agree row-for-row
+    a = ss.probe(shards, cand, mode="broadcast").orderBy("url_hash").collect()
+    b = ss.probe(shards, cand, mode="cogroup").orderBy("url_hash").collect()
+    assert [(r["url_hash"], r["seen"]) for r in a] == [(r["url_hash"], r["seen"]) for r in b]
     n_items = sum(r["n_items"] for r in shards.select("n_items").collect())
     assert n_items == 200
