@@ -1084,3 +1084,46 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", "embedding").unionByName(dup)
     pairs = cosine_near_dup_pairs(base, threshold=0.95, n_planes=6)
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+# ------------------------------------------ rows-only (non-SQL) entries
+# BPE-ish token counting uses lookaround regex splits RE2 (DuckDB)
+# cannot express -> no oracle; driver records the weaker rows check.
+@register("token_count_bpe", None)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"))
+
+
+# Image enrichment plumbing: decode + metadata + phash via mapInPandas
+# over deterministic fixture images (binary payloads are not
+# SQL-comparable -> rows-only).
+@register("images_enrich", None)
+def q_images_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import enrich_images
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[5]) for r in rows],
+        "image_id string, bytes binary, caption string",
+    )
+    return enrich_images(df).select("image_id", "w", "h", "fmt", "phash")
+
+
+# Image near-duplicate pairs by perceptual hash (pigeonhole-blocked
+# hamming join) over the fixture image set.
+@register("phash_near_dup_pairs", None)
+def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.dedup import phash_near_dups
+    from .operators.multimodal import enrich_images
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[5]) for r in rows],
+        "image_id string, bytes binary, caption string",
+    )
+    return phash_near_dups(enrich_images(df), max_hamming=10)

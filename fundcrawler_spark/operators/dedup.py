@@ -211,9 +211,10 @@ def simhash_pairs(
 def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Image near-dup pairs by 64-bit perceptual hash: block on 8x 8-bit
     chunks (pigeonhole for hamming<=7), verify with bit_count(xor)."""
-    chunks = images.select(
-        F.col("image_id").alias("id"),
-        F.col("phash").alias("h"),
+    base = images.select(F.col("image_id").alias("id"), F.col("phash").alias("h"))
+    chunks = base.select(
+        "id",
+        "h",
         F.explode(
             F.array(*[
                 F.struct(

@@ -36,12 +36,28 @@ def run_fetch(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return fetch_pandas_batch(pdf, fail_rate, max_fail_attempts)
 
+    # Physical grouping is the kernel's own choice — politeness was
+    # enforced upstream, so the fetch batches just need to be (a) even
+    # and (b) plentiful. Two pitfalls this code avoids explicitly:
+    #   * AQE coalesces shuffle partitions by BYTE size, but this
+    #     stage's cost is python compute per row — a small admitted set
+    #     would collapse to 1-2 partitions and run nearly serially; a
+    #     user-specified repartition count is exempt from coalescing.
+    #   * the frontier's host_salt has only n_salts values per host —
+    #     hashing few group keys into many partitions leaves empty and
+    #     double-loaded partitions (straggler tail), so the kernel
+    #     re-salts finely off url_hash.
+    spark = admitted.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism * 4
+    fine = F.pmod(F.xxhash64("url_hash"), F.lit(parallelism * 16)).cast("int")
     fetched = (
         admitted.select(
             "url", "url_hash", "host", "host_salt", "page_type",
             "seed_index", "retry_count", "wave",
         )
-        .groupBy("host", "host_salt")
+        .withColumn("fetch_salt", fine)
+        .repartition(parallelism, "host", "fetch_salt")
+        .groupBy("host", "fetch_salt")
         .applyInPandas(fn, FETCHED_SCHEMA)
     )
     if wave is not None:

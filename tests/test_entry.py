@@ -42,5 +42,9 @@ def test_parquet_scan_prunes_columns(spark):
 
 def test_flagship_stays_codegen(spark):
     df = entry_mod.entry(spark)
+    df.collect()  # AQE finalizes the physical plan only on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the compact form;
+    # WindowGroupLimit = rank-limit pushdown below the top-K windows
+    assert "*(" in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan
