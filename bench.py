@@ -73,7 +73,7 @@ def bench_crawl(spark) -> dict:
     try:
         cfg = CrawlConfig(
             fail_rate=0.0, max_waves=200, n_shards=32,
-            init_budget=160.0, max_budget=160,
+            init_budget=160.0, max_budget=160, checkpoint_every=5,
         )
         t0 = time.time()
         stats = Crawler(spark, wd, cfg).run(seeds=seeds, log=lambda *a: None)

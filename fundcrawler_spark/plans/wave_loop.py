@@ -52,6 +52,7 @@ class CrawlConfig:
     max_waves: int = 200
     max_budget: int = 160              # cpu*5 analog (rate_control.py:30)
     init_budget: float | None = None   # warm-start AIMD cur (bench only)
+    checkpoint_every: int = 1          # durable ckpt cadence (waves)
     shard_capacity: int = 1_000_000
     robots_by_host: dict = field(default_factory=dict)
     agent: str = "fundcrawler"
@@ -157,14 +158,18 @@ class Crawler:
             wave, order_offset = 0, 0
 
         while wave < cfg.max_waves:
-            frontier = frontier.repartition(cfg.n_salts, "url_hash")
             frontier.persist()
-            n_frontier = frontier.count()
+            # one driver job yields both the frontier size and the host
+            # set (hosts_seen drives the per-wave AIMD budget tick)
+            host_counts = {
+                r["host"]: r["count"]
+                for r in frontier.groupBy("host").count().collect()
+            }
+            n_frontier = sum(host_counts.values())
             if n_frontier == 0:
                 frontier.unpersist()
                 break
-
-            hosts_seen = {r["host"] for r in frontier.select("host").distinct().collect()}
+            hosts_seen = set(host_counts)
             wave_budgets = {h: budgets.budget_for(h) for h in hosts_seen}
 
             cand = frontier
@@ -172,21 +177,22 @@ class Crawler:
                 cand = robots_filter(cand, cfg.robots_by_host, cfg.agent)
             admitted = admit(cand, wave_budgets, cfg.max_budget)
             admitted.persist()
-            n_admitted = admitted.count()
+
+            fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts, wave=wave)
+            fetched = with_fetch_order(fetched, admitted, order_offset)
+            fetched.persist()
+            counts = {
+                r["host"]: (r["s"], r["f"])
+                for r in fetched.groupBy("host")
+                .agg(
+                    F.count_if(F.col("state") == "SUCCESS").alias("s"),
+                    F.count_if(F.col("state") == "FALSE").alias("f"),
+                )
+                .collect()
+            }
+            n_admitted = sum(s + f for s, f in counts.values())
 
             if n_admitted:
-                fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts, wave=wave)
-                fetched = with_fetch_order(fetched, admitted, order_offset)
-                fetched.persist()
-                counts = {
-                    r["host"]: (r["s"], r["f"])
-                    for r in fetched.groupBy("host")
-                    .agg(
-                        F.count_if(F.col("state") == "SUCCESS").alias("s"),
-                        F.count_if(F.col("state") == "FALSE").alias("f"),
-                    )
-                    .collect()
-                }
                 order_offset += n_admitted
 
                 ok = fetched.filter(F.col("state") == "SUCCESS")
@@ -227,23 +233,37 @@ class Crawler:
                     shards = self.seen.delete(shards, fails.select("url_hash"))
                 else:
                     shards = self.seen.insert(shards, ok.select("url_hash"))
-                fetched.unpersist()
             else:
-                counts = {}
                 frontier_next = frontier
 
             budgets.observe_wave(counts, hosts_seen)
 
-            # materialize the next frontier + shards via the checkpoint
-            # (cuts lineage; the checkpoint IS the materialization)
-            self._write_checkpoint(wave, frontier_next, shards, budgets, order_offset)
-            d = self._ckpt_dir(wave)
-            frontier.unpersist()
-            admitted.unpersist()
-            frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
-            shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
+            # durable checkpoint every cfg.checkpoint_every waves (and on
+            # the final wave, detected next iteration); in between, a
+            # localCheckpoint cuts lineage without the parquet round-trip
+            # — resume granularity vs per-wave overhead is the knob
+            if wave % cfg.checkpoint_every == cfg.checkpoint_every - 1:
+                frontier_next = frontier_next.repartition(cfg.n_salts, "url_hash")
+                self._write_checkpoint(wave, frontier_next, shards, budgets, order_offset)
+                d = self._ckpt_dir(wave)
+                frontier.unpersist()
+                fetched.unpersist()
+                admitted.unpersist()
+                frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
+                shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
+            else:
+                frontier_new = frontier_next.repartition(cfg.n_salts, "url_hash").localCheckpoint()
+                shards = shards.localCheckpoint()
+                frontier.unpersist()
+                fetched.unpersist()
+                admitted.unpersist()
+                frontier = frontier_new
             log(f"[crawl] wave={wave} frontier={n_frontier} admitted={n_admitted}")
             wave += 1
+
+        # final durable checkpoint so the last state is always resumable
+        if wave > 0 and self.latest_checkpoint() != wave - 1:
+            self._write_checkpoint(wave - 1, frontier, shards, budgets, order_offset)
 
         # ---- finalize: barrier-join assembly over all fetched pages
         pages = self.pages.read(spark)
