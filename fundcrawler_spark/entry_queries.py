@@ -1127,3 +1127,13 @@ def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id string, bytes binary, caption string",
     )
     return phash_near_dups(enrich_images(df), max_hamming=10)
+
+
+# LSH-bucketed approximate nearest neighbors (the ANN scale path; the
+# exact brute-force variant is oracle-checked as embedding_topk).
+@register("embedding_ann_lsh", None)
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -65,3 +65,17 @@ def test_distributed_probe_insert(spark):
     assert [(r["url_hash"], r["seen"]) for r in a] == [(r["url_hash"], r["seen"]) for r in b]
     n_items = sum(r["n_items"] for r in shards.select("n_items").collect())
     assert n_items == 200
+
+
+def test_bloom_n_items_crosschecked_by_approx_distinct(spark):
+    """SURVEY.md §2.4: approx_count_distinct(url_hash) cross-checks the
+    bloom shards' n_items bookkeeping."""
+    from pyspark.sql import functions as F
+
+    ss = SeenSet(spark, n_shards=4, capacity_per_shard=50_000)
+    keys = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    shards = ss.insert(ss.empty_shards(), keys)
+    n_items = sum(r["n_items"] for r in shards.select("n_items").collect())
+    approx = keys.agg(F.approx_count_distinct("url_hash").alias("a")).first()["a"]
+    assert n_items == 5000
+    assert abs(approx - n_items) / n_items < 0.05
