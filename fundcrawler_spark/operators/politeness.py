@@ -51,6 +51,7 @@ class RobotsMatcher:
         cur_agents: list[str] = []
         cur_rules: list[tuple[bool, str]] = []
         in_group = False
+        self.crawl_delay: float | None = None
         for line in (robots_txt or "").splitlines():
             line = line.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -69,6 +70,11 @@ class RobotsMatcher:
                     cur_rules.append((key == "allow", val))
                 elif key == "disallow":
                     pass  # empty Disallow = allow all (no rule)
+            elif key == "crawl-delay":
+                try:
+                    self.crawl_delay = float(val)
+                except ValueError:
+                    pass
         if cur_agents or cur_rules:
             groups.append((cur_agents, cur_rules))
 
@@ -85,6 +91,13 @@ class RobotsMatcher:
                 if score > best_score:
                     best, best_score = rules, score
         self.rules = [(allow, len(pat), _rule_regex(pat)) for allow, pat in best]
+
+    def budget_cap(self, wave_seconds: float) -> int | None:
+        """Crawl-delay translated to our wave model: at most
+        wave_seconds/delay requests per wave (floor 1)."""
+        if not self.crawl_delay or self.crawl_delay <= 0:
+            return None
+        return max(1, int(wave_seconds / self.crawl_delay))
 
     def allowed(self, path: str) -> bool:
         verdict, best_len = True, -1

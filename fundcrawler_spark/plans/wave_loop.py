@@ -53,6 +53,7 @@ class CrawlConfig:
     max_budget: int = 160              # cpu*5 analog (rate_control.py:30)
     init_budget: float | None = None   # warm-start AIMD cur (bench only)
     checkpoint_every: int = 1          # durable ckpt cadence (waves)
+    wave_seconds: float = 1.0          # Crawl-delay -> per-wave cap basis
     shard_capacity: int = 1_000_000
     robots_by_host: dict = field(default_factory=dict)
     agent: str = "fundcrawler"
@@ -157,6 +158,13 @@ class Crawler:
             budgets = BudgetTable(max_num=float(cfg.max_budget), init_cur=cfg.init_budget)
             wave, order_offset = 0, 0
 
+        from ..operators.politeness import RobotsMatcher
+
+        robots_caps = {
+            h: RobotsMatcher(txt, cfg.agent).budget_cap(cfg.wave_seconds)
+            for h, txt in cfg.robots_by_host.items()
+        }
+
         while wave < cfg.max_waves:
             frontier.persist()
             # one driver job yields both the frontier size and the host
@@ -171,6 +179,10 @@ class Crawler:
                 break
             hosts_seen = set(host_counts)
             wave_budgets = {h: budgets.budget_for(h) for h in hosts_seen}
+            # robots Crawl-delay caps admission per wave (politeness.py)
+            for h, cap in robots_caps.items():
+                if h in wave_budgets and cap is not None:
+                    wave_budgets[h] = min(wave_budgets[h], cap)
 
             cand = frontier
             if cfg.robots_by_host:
