@@ -740,17 +740,19 @@ def q_aimd_step_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ua_pick",
     """
-SELECT p_partkey, concat('UA-', lpad(CAST((p_partkey * 2654435761) % 22 AS VARCHAR), 2, '0')) AS ua
-FROM part
+WITH uas AS (SELECT ['UA-00', 'UA-01', 'UA-02', 'UA-03', 'UA-04', 'UA-05', 'UA-06', 'UA-07', 'UA-08', 'UA-09', 'UA-10', 'UA-11', 'UA-12', 'UA-13', 'UA-14', 'UA-15', 'UA-16', 'UA-17', 'UA-18', 'UA-19', 'UA-20', 'UA-21'] AS ua_list)
+SELECT p_partkey,
+       ua_list[CAST((p_partkey * 2654435761) % 22 AS INT) + 1] AS ua
+FROM part, uas
 """,
 )
 def q_ua_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hash-pick replaces the reference's random.choice over
+    # the 22-entry UA pool (fake_ua_getter.py:14-39) — SURVEY.md §2.7
     p = _t(spark, sf_dir, "part")
-    idx = (F.col("p_partkey") * F.lit(2654435761)) % 22
-    return p.select(
-        "p_partkey",
-        F.concat(F.lit("UA-"), F.lpad(idx.cast("string"), 2, "0")).alias("ua"),
-    )
+    ua_array = F.array(*[F.lit(f"UA-{i:02d}".format(i=i)) for i in range(22)])
+    idx = ((F.col("p_partkey") * F.lit(2654435761)) % 22).cast("int")
+    return p.select("p_partkey", F.element_at(ua_array, idx + 1).alias("ua"))
 
 
 # ------------------------------------------------------- JSON output
@@ -1137,3 +1139,25 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# -------------------------------------------- bounded seed scan (LIMIT)
+@register(
+    "seed_scan_limit",
+    """
+SELECT lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS fund_code, c_name AS fund_name
+FROM customer ORDER BY c_custkey LIMIT 50
+""",
+)
+def q_seed_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's page=1,N bounded test scan (get_fund_by_web.py:28-45)
+    # = deterministic ORDER BY + LIMIT (bare LIMIT is engine-dependent)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.orderBy("c_custkey")
+        .limit(50)
+        .select(
+            F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("fund_code"),
+            F.col("c_name").alias("fund_name"),
+        )
+    )
