@@ -27,6 +27,7 @@ def run_fetch(
     fail_rate: float = 0.0,
     max_fail_attempts: int = 3,
     wave: int | None = None,
+    discover: bool = False,
 ) -> DataFrame:
     """admitted frontier rows -> FETCHED_SCHEMA rows (stub transport).
     ``wave`` stamps the rows with the wave the fetch HAPPENS in (the
@@ -34,7 +35,7 @@ def run_fetch(
     from ..sources.stub_transport import fetch_pandas_batch
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fetch_pandas_batch(pdf, fail_rate, max_fail_attempts)
+        return fetch_pandas_batch(pdf, fail_rate, max_fail_attempts, discover)
 
     # Physical grouping is the kernel's own choice — politeness was
     # enforced upstream, so the fetch batches just need to be (a) even

@@ -51,9 +51,13 @@ def simulate(
     max_budget: int = 160,
     n_shards: int = 64,
     shard_capacity: int = 1_000_000,
+    discover_map: dict | None = None,
 ) -> dict:
     """rows: dicts with url, url_hash, host, page_type, seed_index,
-    priority (i.e. a collected initial frontier)."""
+    priority (i.e. a collected initial frontier). ``discover_map``
+    enables recursive discovery: {discovered_url: (url_hash, host)} —
+    a success of an OVERVIEW/MANAGER page discovers its fund's
+    announcements URL exactly like the engine's stub transport."""
     frontier = [SimRow(r["url"], r["url_hash"], r["host"], r["page_type"],
                        r["seed_index"], r["priority"]) for r in rows]
     budgets = BudgetTable(max_num=float(max_budget))
@@ -64,7 +68,10 @@ def simulate(
     wave = 0
 
     def sort_key(t: SimRow):
-        return (-t.retry_count, t.priority, t.seed_index, PAGE_ORDINAL[t.page_type])
+        # unknown page types (e.g. discovered ANNOUNCE) sort after the
+        # enum, matching politeness.with_page_ordinal's otherwise(len)
+        return (-t.retry_count, t.priority, t.seed_index,
+                PAGE_ORDINAL.get(t.page_type, len(PAGE_ORDINAL)))
 
     while frontier and wave < max_waves:
         hosts_seen = {t.host for t in frontier}
@@ -82,6 +89,7 @@ def simulate(
         counts: dict[str, tuple[int, int]] = {}
         admitted_ids = {id(t) for t in admitted}
         next_frontier = [t for t in frontier if id(t) not in admitted_ids]
+        wave_results: list[tuple[SimRow, bool]] = []
         # global order: host ASC then per-host rank (already in order)
         for t in admitted:
             fetch_order += 1
@@ -91,11 +99,35 @@ def simulate(
             if kind is None:
                 counts[t.host] = (s + 1, f)
                 seen.add(t.url_hash)
+                wave_results.append((t, True))
             else:
                 counts[t.host] = (s, f + 1)
+                wave_results.append((t, False))
                 if max_retries is None or t.retry_count < max_retries:
                     t.retry_count += 1
                     next_frontier.append(t)
+
+        if discover_map:
+            from ..sources.stub_transport import (
+                DISCOVER_SOURCES, classify_url, discovered_url,
+            )
+
+            pending = {t.url_hash for t in next_frontier}
+            for t, succeeded in wave_results:
+                if not succeeded or t.page_type not in DISCOVER_SOURCES:
+                    continue
+                code, _ = classify_url(t.url)
+                if not code:
+                    continue
+                durl = discovered_url(code)
+                if durl not in discover_map:
+                    continue
+                dhash, dhost = discover_map[durl]
+                if dhash in seen or dhash in pending:
+                    continue
+                next_frontier.append(SimRow(durl, dhash, dhost, "ANNOUNCE",
+                                            t.seed_index, t.seed_index))
+                pending.add(dhash)
 
         budgets.observe_wave(counts, hosts_seen)
         frontier = next_frontier

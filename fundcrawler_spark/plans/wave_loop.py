@@ -54,6 +54,7 @@ class CrawlConfig:
     init_budget: float | None = None   # warm-start AIMD cur (bench only)
     checkpoint_every: int = 1          # durable ckpt cadence (waves)
     wave_seconds: float = 1.0          # Crawl-delay -> per-wave cap basis
+    discover: bool = False             # recursive link discovery
     shard_capacity: int = 1_000_000
     robots_by_host: dict = field(default_factory=dict)
     agent: str = "fundcrawler"
@@ -190,7 +191,8 @@ class Crawler:
             admitted = admit(cand, wave_budgets, cfg.max_budget)
             admitted.persist()
 
-            fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts, wave=wave)
+            fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts,
+                                wave=wave, discover=cfg.discover)
             fetched = with_fetch_order(fetched, admitted, order_offset)
             fetched.persist()
             counts = {
@@ -245,6 +247,34 @@ class Crawler:
                     shards = self.seen.delete(shards, fails.select("url_hash"))
                 else:
                     shards = self.seen.insert(shards, ok.select("url_hash"))
+
+                # recursive frontier growth: discovered links enter the
+                # frontier after the dedup triangle — batch-distinct,
+                # anti-join vs pending frontier, seen-set probe
+                if cfg.discover:
+                    from ..functions.urlnorm import (
+                        canonicalize_url, host_salt, url_hash, url_host,
+                    )
+
+                    disc = (
+                        ok.select(F.explode("links").alias("url"), "seed_index")
+                        .dropDuplicates(["url"])
+                        .withColumn("url_norm", canonicalize_url(F.col("url")))
+                        .withColumn("url_hash", url_hash(F.col("url_norm")))
+                        .withColumn("host", url_host(F.col("url_norm")))
+                        .withColumn("host_salt", host_salt(F.col("host"), cfg.n_salts, F.col("url_norm")))
+                        .withColumn("page_type", F.lit("ANNOUNCE"))
+                        .withColumn("retry_count", F.lit(0).cast("int"))
+                        .withColumn("priority", F.col("seed_index"))
+                        .withColumn("wave", F.lit(wave + 1).cast("int"))
+                        .select(
+                            "url", "url_norm", "url_hash", "host", "host_salt",
+                            "page_type", "seed_index", "retry_count", "priority", "wave",
+                        )
+                    )
+                    disc = disc.join(frontier_next.select("url_hash"), "url_hash", "left_anti")
+                    disc = self.seen.probe(shards, disc).filter(~F.col("seen")).drop("seen")
+                    frontier_next = frontier_next.unionByName(disc)
             else:
                 frontier_next = frontier
 

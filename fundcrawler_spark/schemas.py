@@ -114,6 +114,8 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("caption", T.StringType(), True),
         T.StructField("wave", T.IntegerType(), False),
         T.StructField("fetch_order", T.LongType(), False),
+        # URLs discovered in the page (recursive frontier growth)
+        T.StructField("links", T.ArrayType(T.StringType()), True),
     ]
 )
 

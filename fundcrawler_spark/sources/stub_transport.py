@@ -28,8 +28,19 @@ _URL_PAGE = [
     (re.compile(r"/jbgk_(\d{6})\.html"), "OVERVIEW"),
     (re.compile(r"/jjjl_(\d{6})\.html"), "MANAGER"),
     (re.compile(r"/tsdata_(\d{6})\.html"), "METRICS"),
+    (re.compile(r"/jjgg_(\d{6})\.html"), "ANNOUNCE"),
     (re.compile(r"code=(\d{6})"), "INCREASE"),
 ]
+
+# recursive discovery: OVERVIEW and MANAGER pages both link the fund's
+# announcements page -> the engine must fetch it exactly once (the
+# dedup triangle: batch-distinct, frontier anti-join, seen-set probe)
+DISCOVER_SOURCES = ("OVERVIEW", "MANAGER")
+
+
+def discovered_url(fund_code: str) -> str:
+    return "http://fundf10.eastmoney.com/jjgg_" + fund_code + ".html"
+
 
 FMTS = ("ppm", "bmp", "dctq")
 
@@ -62,26 +73,36 @@ def image_payload(seed_index: int, page_ordinal: int) -> tuple[bytes, str, str]:
     return encode_image(arr, fmt), fixtures.caption_for(image_id), fmt
 
 
-def fetch_pandas_batch(pdf: pd.DataFrame, fail_rate: float, max_fail_attempts: int) -> pd.DataFrame:
+def fetch_pandas_batch(pdf: pd.DataFrame, fail_rate: float, max_fail_attempts: int,
+                       discover: bool = False) -> pd.DataFrame:
     """Batch fetch: frontier columns in -> FETCHED_SCHEMA columns out.
     Vectorized where it matters; body synthesis is numpy/str work over
     the (small) admitted batch, never row-at-a-time Spark Python."""
     n = len(pdf)
     states, statuses, bodies = [], [], []
-    img_bytes, captions = [], []
+    img_bytes, captions, links = [], [], []
     for url, url_hash, retry, seed_idx, ptype in zip(
         pdf["url"], pdf["url_hash"], pdf["retry_count"], pdf["seed_index"], pdf["page_type"]
     ):
         kind = fault_kind(int(url_hash), int(retry), fail_rate, max_fail_attempts)
         if kind is None:
             code, ptype2 = classify_url(url)
-            body = fixtures.page_body(code, ptype2 or ptype) if code else "<html>ok</html>"
-            ib, cap, _ = image_payload(int(seed_idx), PAGE_ORDINAL.get(ptype, 0))
+            eff = ptype2 or ptype
+            if eff == "ANNOUNCE":
+                body = "<html>基金公告 " + (code or "") + " 第1页</html>"
+            else:
+                body = fixtures.page_body(code, eff) if code else "<html>ok</html>"
+            ib, cap, _ = image_payload(int(seed_idx), PAGE_ORDINAL.get(ptype, 4))
             states.append("SUCCESS")
             statuses.append(200)
             bodies.append(body)
             img_bytes.append(ib)
             captions.append(cap)
+            links.append(
+                [discovered_url(code)]
+                if discover and code and eff in DISCOVER_SOURCES
+                else []
+            )
         else:
             # success predicate is status==200 AND non-empty body
             # (http_request_downloader.py:109-111)
@@ -90,6 +111,7 @@ def fetch_pandas_batch(pdf: pd.DataFrame, fail_rate: float, max_fail_attempts: i
             bodies.append("" if kind == "blank200" else None)
             img_bytes.append(None)
             captions.append(None)
+            links.append([])
     out = pd.DataFrame(
         {
             "url_hash": pdf["url_hash"].to_numpy(),
@@ -105,6 +127,7 @@ def fetch_pandas_batch(pdf: pd.DataFrame, fail_rate: float, max_fail_attempts: i
             "caption": captions,
             "wave": pdf["wave"].to_numpy(),
             "fetch_order": np.zeros(n, dtype=np.int64),
+            "links": links,
         }
     )
     return out

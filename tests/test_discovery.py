@@ -1,0 +1,67 @@
+"""Recursive frontier growth: discovered links enter the frontier
+exactly once (batch-distinct + frontier anti-join + seen probe), and
+the crawl stays bit-exact against the simulator with discovery on."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from fundcrawler_spark import fixtures as fx
+from fundcrawler_spark.functions.urlnorm import canonicalize_url, url_hash, url_host
+from fundcrawler_spark.operators.frontier import seeds_to_frontier
+from fundcrawler_spark.plans.simulator import simulate
+from fundcrawler_spark.plans.wave_loop import Crawler, CrawlConfig
+from fundcrawler_spark.schemas import SEEDS_SCHEMA
+from fundcrawler_spark.sources.stub_transport import discovered_url
+
+
+def _discover_map(spark, codes):
+    df = spark.createDataFrame([(discovered_url(c),) for c in codes], "url string")
+    rows = df.select(
+        "url",
+        url_hash(canonicalize_url(F.col("url"))).alias("h"),
+        url_host(canonicalize_url(F.col("url"))).alias("host"),
+    ).collect()
+    return {r["url"]: (r["h"], r["host"]) for r in rows}
+
+
+def test_discovery_exactly_once_and_golden(spark):
+    n = 8
+    seeds = spark.createDataFrame(fx.seed_rows(n), SEEDS_SCHEMA)
+    codes = [r[0] for r in fx.seed_rows(n)]
+    wd = tempfile.mkdtemp(prefix="disc_")
+    try:
+        cfg = CrawlConfig(
+            fail_rate=0.04, max_fail_attempts=1, max_waves=60, n_shards=8,
+            discover=True,
+        )
+        c = Crawler(spark, wd, cfg)
+        stats = c.run(seeds=seeds, log=lambda *a: None)
+
+        pages = c.pages.read(spark).collect()
+        ann = [r for r in pages if r["page_type"] == "ANNOUNCE"]
+        # the exactly-once property: no URL is ever fetched twice, and
+        # every announce page that WAS fetched is unique — despite being
+        # discovered by BOTH its OVERVIEW and MANAGER pages
+        assert len({r["url_hash"] for r in pages}) == len(pages)
+        assert len({r["url"] for r in ann}) == len(ann)
+        assert len(ann) >= 3  # discovery actually happened
+
+        # golden conformance with discovery enabled
+        rows = [r.asDict() for r in seeds_to_frontier(seeds).collect()]
+        sim = simulate(
+            rows, fail_rate=0.04, max_fail_attempts=1, max_waves=60,
+            n_shards=8, discover_map=_discover_map(spark, codes),
+        )
+        assert stats["pages_fetched"] == len(sim["order"])
+        assert stats["waves"] == sim["waves"]
+        eng = {r["url_hash"]: (r["fetch_order"], r["wave"]) for r in pages}
+        sim_last = {}
+        for o, h, w in sim["order"]:
+            sim_last[h] = (o, w)
+        for h, ow in eng.items():
+            assert sim_last[h] == ow, h
+        assert set(eng) == sim["seen"]
+    finally:
+        shutil.rmtree(wd)
