@@ -1120,14 +1120,24 @@ def q_images_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("phash_near_dup_pairs", None)
 def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import fixtures as fx
+    from .functions import imaging
     from .operators.dedup import phash_near_dups
     from .operators.multimodal import enrich_images
 
     rows = fx.image_rows(64)
+    # plant near-duplicates: lossy re-encodes of every 8th image under a
+    # new id (phash within a few bits of the original)
+    planted = []
+    for i in range(0, 64, 8):
+        arr = imaging.decode_image(bytes(rows[i][1]), rows[i][4])
+        planted.append(
+            (f"dup_{rows[i][0]}", bytearray(imaging.encode_image(arr, "dctq")),
+             rows[i][5])
+        )
     df = spark.createDataFrame(
-        [(r[0], r[1], r[5]) for r in rows],
+        [(r[0], r[1], r[5]) for r in rows] + planted,
         "image_id string, bytes binary, caption string",
-    )
+    ).dropDuplicates(["image_id"])
     return phash_near_dups(enrich_images(df), max_hamming=10)
 
 
