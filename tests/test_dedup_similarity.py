@@ -27,7 +27,7 @@ def test_lsh_equals_exact_pairs(spark):
     }
     lsh = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in minhash_lsh_pairs(docs, threshold=0.85, n_hashes=32, bands=16).collect()
+        for r in minhash_lsh_pairs(docs, threshold=0.85).collect()
     }
     assert lsh == exact
     assert len(exact) > 0, "sf0.001 documents should contain planted near-dups"
