@@ -1061,14 +1061,27 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------- embedding cosine near-dup pairs
+# Planted dups: exact copies (+100000) AND perturbed near-copies
+# (+200000, cosine ~0.987 to their source — non-identical vectors, the
+# case a single AND-composed LSH bucket coin-flips on). delta_i =
+# ((vec_id*31 + i) % 7 - 3) * 0.012 with 1-based i, identical integer
+# math both engines (DuckDB lambda index is 1-based; Spark's is 0-based
+# so the Spark side uses i+1).
 @register(
     "embedding_neardup",
     """
 WITH base AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
-v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM base)
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(embedding,
+           (x, i) -> CAST(x AS DOUBLE)
+                     + CAST((vec_id * 31 + i) % 7 - 3 AS DOUBLE) * CAST(0.012 AS DOUBLE))
+  FROM embeddings WHERE vec_id % 50 = 1),
+v AS (SELECT vec_id, ve FROM base)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_dot_product(a.ve, b.ve)
     / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS sim
@@ -1079,11 +1092,26 @@ WHERE list_dot_product(a.ve, b.ve)
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", ve.alias("ve"))
     dup = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 100000).alias("vec_id"), ve.alias("ve")
     )
-    base = emb.select("vec_id", "embedding").unionByName(dup)
-    pairs = cosine_near_dup_pairs(base, threshold=0.95, n_planes=6)
+    k = F.col("vec_id")
+    pert_vec = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + ((k * 31 + (i.cast("long") + 1)) % 7 - 3).cast("double") * 0.012,
+    )
+    # two selects: in a single select the lambda's vec_id reference
+    # resolves laterally to the ALIASED vec_id+200000, not the input
+    pert = (
+        emb.filter(k % 50 == 1)
+        .select("vec_id", pert_vec.alias("ve"))
+        .select((F.col("vec_id") + 200000).alias("vec_id"), "ve")
+    )
+    full = base.unionByName(dup).unionByName(pert)
+    pairs = cosine_near_dup_pairs(full, threshold=0.95, vec_col="ve")
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 

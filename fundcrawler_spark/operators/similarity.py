@@ -67,47 +67,96 @@ def brute_force_topk(
     return top.select("query_id", "neighbor_id", "rank")
 
 
-def _lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Random-hyperplane sign bucket with deterministic pseudo-planes:
-    plane p's weight for dim i = ((i+1)*(p*2+3)) % 7 - 3 — integer,
-    engine-independent, good enough to split a corpus into 2^n_planes
-    buckets."""
-    def _weight(p: int):
-        return lambda x, i: x * ((i.cast("long") * (2 * p + 3)) % 7 - 3).cast("double")
+def _plane_matrix(n_tables: int, n_planes: int, dim: int):
+    """Deterministic random-sign (Rademacher) hyperplanes from a
+    splitmix64 bit stream — (n_tables, n_planes, dim) of +/-1."""
+    import numpy as np
 
-    out = F.lit(0)
-    for p in range(n_planes):
-        s = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), _weight(p)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        out = out + F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return out
+    from .dedup import _splitmix64
+
+    n_bits = n_tables * n_planes * dim
+    words = _splitmix64((n_bits + 63) // 64, salt=7)
+    bits = np.unpackbits(
+        np.array(words, dtype=np.uint64).view(np.uint8), bitorder="little"
+    )[:n_bits]
+    return (bits.astype(np.float64) * 2.0 - 1.0).reshape(n_tables, n_planes, dim)
+
+
+def _lsh_buckets(
+    df: DataFrame, id_col: str, out_id: str, vec_col: str,
+    n_planes: int, n_tables: int,
+) -> DataFrame:
+    """(out_id, v array<double>, buckets array<long>[n_tables]) via a
+    numpy mapInPandas kernel: one matmul against the sign-plane tensor
+    per batch. One bucket per table — tables are OR-composed downstream
+    (union of per-table candidates), which is what keeps recall high at
+    the threshold: P(hit) = 1-(1-(1-theta/pi)^planes)^tables, vs the
+    coin-flip a single AND-only signature gives near the threshold."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        planes = {}
+        p2 = (1 << np.arange(n_planes, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            dim = V.shape[1]
+            if dim not in planes:
+                planes[dim] = _plane_matrix(n_tables, n_planes, dim)
+            H = planes[dim]  # (T, P, dim)
+            # signs: (T, P, n) -> bucket per table: (n, T)
+            proj = np.einsum("tpd,nd->tpn", H, V)
+            buckets = ((proj > 0).astype(np.int64) * p2[None, :, None]).sum(axis=1).T
+            yield pd.DataFrame({
+                out_id: pdf[id_col].to_numpy(),
+                "v": list(V),
+                "buckets": list(buckets),
+            })
+
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, f"{out_id} long, v array<double>, buckets array<long>")
+    )
 
 
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 8,
+    n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket (equi-join on bucket -> per-bucket scoring). At 100 TB this
-    is the shape that matters: the shuffle key is the bucket id, and
-    each task scores one bucket slice instead of the full corpus."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", _lsh_bucket(F.col("cv"), n_planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", _lsh_bucket(F.col("qv"), n_planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    """Approximate top-k: score only corpus vectors sharing a bucket
+    with the query in AT LEAST ONE of ``n_tables`` independent plane
+    tables (multi-table OR composition). At 100 TB this is the shape
+    that matters: the shuffle key is (table, bucket), each task scores
+    one bucket slice, and recall at cosine ~0.95 is
+    1-(1-0.43)^12 > 0.999 instead of the ~0.5 a single table gives."""
+    c = _lsh_buckets(corpus, id_col, "neighbor_id", vec_col, n_planes, n_tables)
+    q = _lsh_buckets(queries, id_col, "query_id", vec_col, n_planes, n_tables)
+    ce = c.select("neighbor_id", "v", F.posexplode("buckets").alias("tbl", "bucket"))
+    qe = q.select(
+        F.col("query_id"), F.col("v").alias("qv"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    # candidates dedup on skinny ids, vectors re-attached afterwards
+    cand = (
+        ce.select("neighbor_id", "tbl", "bucket")
+        .join(F.broadcast(qe.select("query_id", "tbl", "bucket")), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(c.select("neighbor_id", "v"), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", F.col("v").alias("qv"))), "query_id")
+        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
     )
     top = grouped_topk(
         scored, ["query_id"], [F.col("sim").desc()], k, tiebreak=["neighbor_id"]
@@ -118,24 +167,36 @@ def lsh_topk(
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int = 8,
+    n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-duplicate pairs above a cosine threshold,
-    LSH-bucketed to avoid the cross join (exact verify within bucket)."""
-    v = embeddings.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", _lsh_bucket(F.col("v"), n_planes))
-    a, b = v.alias("a"), v.alias("b")
-    cand = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-        F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+    """Embedding near-duplicate pairs above a cosine threshold:
+    multi-table LSH candidates (union over ``n_tables`` independent
+    sign-plane tables), then exact cosine verification. The exact
+    verify keeps precision at 1; the OR-composed tables keep recall at
+    threshold-grade pairs >0.999 (a single 6-plane AND bucket missed
+    ~half of true pairs at cosine 0.95)."""
+    b = _lsh_buckets(embeddings, id_col, "id", vec_col, n_planes, n_tables).persist()
+    e = b.select("id", F.posexplode("buckets").alias("tbl", "bucket"))
+    cand = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(b.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(b.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     )
     return (
-        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -66,6 +66,38 @@ def test_phash_near_dups(spark):
     assert any(rows[0][0] in p and "img_dup_0" in p for p in pairs), pairs
 
 
+def test_multi_table_lsh_recall_on_perturbed_dups(spark):
+    """Near-but-NOT-identical planted dups (cosine ~0.97-0.99) must all
+    be found: this is the case a single AND-composed LSH bucket misses
+    ~half the time — the OR-composed multi-table candidates + exact
+    verify must have recall 1.0 on them."""
+    from fundcrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    rng = np.random.default_rng(7)
+    base = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    planted = []
+    for vid, vec in base[::5]:  # every 5th vector gets a perturbed twin
+        v = np.array(vec)
+        w = v + rng.normal(0, 0.02, size=len(v))  # cosine ~0.97-0.99
+        sim = float(np.dot(v, w) / (np.linalg.norm(v) * np.linalg.norm(w)))
+        assert sim >= 0.95, sim
+        planted.append((vid + 10000, [float(x) for x in w]))
+    df = spark.createDataFrame(base + planted, "vec_id long, embedding array<double>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    expect = {(vid, vid + 10000) for vid, _ in base[::5]}
+    assert expect <= found, f"missed {sorted(expect - found)[:5]} of {len(expect)}"
+    # precision: every reported pair really is above threshold
+    V = dict(base + planted)
+    for a, b in found:
+        va, vb = np.array(V[a]), np.array(V[b])
+        assert np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.95
+
+
 def test_lsh_topk_consistency(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
