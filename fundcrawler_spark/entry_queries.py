@@ -343,6 +343,66 @@ def q_regex_increase_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- MANAGER page
+# Reference impl/manager.py:17-18,26-31 — the two remaining extracted
+# metrics (fund_manager, date_of_appointment); o_orderkey % 11 rows get
+# a block-less body to exercise the no-match -> NULL path.
+_MANAGER_BODY_SQL = """
+mg AS (
+  SELECT o_orderkey,
+    CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN '张三丰' WHEN 1 THEN '李四光'
+         WHEN 2 THEN '王五强' WHEN 3 THEN '赵六一' ELSE '孙七海' END AS mgr,
+    CAST(DATE '2005-01-01' + CAST(o_orderkey % 7000 AS INT) AS VARCHAR) AS dt
+  FROM orders),
+bodies AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 11 = 0 THEN '<div>现任基金经理简介</div><p>无数据</p>'
+    ELSE concat('<div>现任基金经理简介</div><p>姓名：<td><a href="m">', mgr,
+                '</a></p><p>上任日期：<td>', dt, '</p>') END AS body
+  FROM mg)
+"""
+
+
+@register(
+    "regex_manager",
+    f"""
+WITH {_MANAGER_BODY_SQL}
+SELECT o_orderkey,
+  nullif(regexp_extract(body, '现任基金经理简介[\\s\\S]+?姓名：[\\s\\S]+?<a.+?>(.+?)</a>', 1), '') AS fund_manager,
+  nullif(regexp_extract(body, '现任基金经理简介[\\s\\S]+?上任日期：[\\s\\S]+?>(.+?)</p>', 1), '') AS date_of_appointment
+FROM bodies
+""",
+)
+def q_regex_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.parse import parse_manager
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mgr = (
+        F.when((k % 5).cast("int") == 0, "张三丰")
+        .when((k % 5).cast("int") == 1, "李四光")
+        .when((k % 5).cast("int") == 2, "王五强")
+        .when((k % 5).cast("int") == 3, "赵六一")
+        .otherwise("孙七海")
+    )
+    dt = F.date_add(F.lit("2005-01-01").cast("date"), (k % 7000).cast("int")).cast("string")
+    body = F.when(
+        k % 11 == 0, F.lit("<div>现任基金经理简介</div><p>无数据</p>")
+    ).otherwise(
+        F.concat(
+            F.lit('<div>现任基金经理简介</div><p>姓名：<td><a href="m">'), mgr,
+            F.lit("</a></p><p>上任日期：<td>"), dt, F.lit("</p>"),
+        )
+    )
+    b = o.select("o_orderkey", body.alias("body"))
+    cols = parse_manager(F.col("body"))
+    return b.select(
+        "o_orderkey",
+        cols["fund_manager"].alias("fund_manager"),
+        cols["date_of_appointment"].alias("date_of_appointment"),
+    )
+
+
 # ------------------------------------------- seed scan string slicing
 @register(
     "seed_scan_slices",
@@ -557,6 +617,57 @@ def q_sliding_failrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_total").over(w).alias("total10"),
         (F.sum("n_fail").over(w).cast("double") / F.sum("n_total").over(w)).alias("fail_rate"),
     )
+
+
+# ------------------------------------------------- rate-log analysis
+# Reference rate_control_analyse.py:8-35: scan the per-update rate log
+# and extract the (fail_rate, tasks_num, threshold) series rounded to 3
+# decimals. Here over a fetch_log-shaped table synthesized from events
+# (the real fetch_log's telemetry is exercised in test_crawl_golden);
+# the per-partition lineage fan-out collapses via max(), counters sum.
+@register(
+    "rate_log_analysis",
+    """
+WITH raw AS (
+  SELECT CAST(event_id % 120 AS INT) AS wave,
+         CAST(user_id % 3 AS INT) AS hn,
+         CAST(event_id % 4 AS INT) AS partition_id,
+         CAST(1 + event_id % 7 AS BIGINT) AS n_admitted,
+         CAST(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_fail
+  FROM events),
+log AS (
+  SELECT wave, concat('h', CAST(hn AS VARCHAR)) AS host, partition_id,
+         n_admitted, n_fail,
+         CAST((wave * 31 + hn) % 997 AS DOUBLE) / 997.0 AS fail_rate_w10,
+         CAST((wave * 7 + hn) % 160 AS DOUBLE) AS budget,
+         CAST(12 + (wave * 13 + hn) % 80 AS DOUBLE) AS threshold
+  FROM raw)
+SELECT host, wave,
+       CAST(SUM(n_admitted) AS BIGINT) AS n_admitted,
+       CAST(SUM(n_fail) AS BIGINT) AS n_fail,
+       round(MAX(fail_rate_w10), 3) AS fail_rate,
+       round(MAX(budget), 3) AS tasks_num,
+       round(MAX(threshold), 3) AS threshold_num
+FROM log GROUP BY host, wave
+""",
+)
+def q_rate_log_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.rate_control import analyze_rate_log
+
+    e = _t(spark, sf_dir, "events")
+    wave = (F.col("event_id") % 120).cast("int")
+    hn = (F.col("user_id") % 3).cast("int")
+    log = e.select(
+        wave.alias("wave"),
+        F.concat(F.lit("h"), hn.cast("string")).alias("host"),
+        (F.col("event_id") % 4).cast("int").alias("partition_id"),
+        (1 + F.col("event_id") % 7).alias("n_admitted"),
+        F.when(F.col("event_id") % 5 == 0, 1).otherwise(0).cast("long").alias("n_fail"),
+        (((wave * 31 + hn) % 997).cast("double") / 997.0).alias("fail_rate_w10"),
+        ((wave * 7 + hn) % 160).cast("double").alias("budget"),
+        (12 + (wave * 13 + hn) % 80).cast("double").alias("threshold"),
+    )
+    return analyze_rate_log(log)
 
 
 # -------------------------------------- retry-first priority admission

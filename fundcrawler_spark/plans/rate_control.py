@@ -39,6 +39,11 @@ class HostRate:
     iterations: int = 0
     success_ring: list[int] = field(default_factory=lambda: [0] * RING)
     fail_ring: list[int] = field(default_factory=lambda: [0] * RING)
+    # telemetry: the fail rate computed by the latest update() — the
+    # reference's analyse mode logs (fail_rate, tasks_num, threshold)
+    # per update (rate_control.py:42-47); we persist the same triple
+    # into fetch_log
+    last_fail_rate: float = 0.0
 
     def update(self, success_count: int, fail_count: int) -> int:
         """One wave's counts in -> admitted concurrency for the next wave."""
@@ -47,6 +52,7 @@ class HostRate:
         self.fail_ring[i] = fail_count
         total = sum(self.success_ring) + sum(self.fail_ring)
         fail_rate = (sum(self.fail_ring) / total) if total else 0.0
+        self.last_fail_rate = fail_rate
 
         if fail_rate > 0.0:
             if self.fail_has_recover:
@@ -75,11 +81,33 @@ class HostRate:
             "iterations": self.iterations,
             "success_ring": list(self.success_ring),
             "fail_ring": list(self.fail_ring),
+            "last_fail_rate": self.last_fail_rate,
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "HostRate":
         return cls(**d)
+
+
+def analyze_rate_log(log):
+    """The reference's rate-control analysis job re-expressed over the
+    fetch_log table (rate_control_analyse.py:8-35: scan the rate log,
+    extract the (fail_rate, tasks_num, threshold) series rounded to 3
+    decimals). fetch_log is per (wave, host, partition); telemetry is
+    identical within a (wave, host) so max() collapses the lineage
+    fan-out while the counters sum."""
+    from pyspark.sql import functions as F
+
+    return (
+        log.groupBy("host", "wave")
+        .agg(
+            F.sum("n_admitted").alias("n_admitted"),
+            F.sum("n_fail").alias("n_fail"),
+            F.round(F.max("fail_rate_w10"), 3).alias("fail_rate"),
+            F.round(F.max("budget"), 3).alias("tasks_num"),
+            F.round(F.max("threshold"), 3).alias("threshold_num"),
+        )
+    )
 
 
 class BudgetTable:
@@ -115,6 +143,15 @@ class BudgetTable:
             rate = self.rates.setdefault(host, self._new_rate())
             self.budgets[host] = rate.update(s, f)
         return dict(self.budgets)
+
+    def telemetry_for(self, host: str) -> tuple[float, float, float]:
+        """(fail_rate, tasks_num=cur, threshold=last) — the triple the
+        reference's analyse mode writes per update
+        (rate_control.py:42-47, rate_control_analyse.py:16-19)."""
+        r = self.rates.get(host)
+        if r is None:
+            return (0.0, 0.0, INIT_THRESHOLD)
+        return (r.last_fail_rate, r.cur, r.last)
 
     def to_dict(self) -> dict:
         return {h: r.to_dict() for h, r in self.rates.items()}

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,6 +131,24 @@ class Crawler:
         budgets = BudgetTable.from_dict(meta["budgets"], max_num=float(self.cfg.max_budget))
         return frontier, shards, budgets, meta["order_offset"]
 
+    def _reset_workdir(self) -> None:
+        """Truncate table dirs + checkpoints for a fresh run (no-op on a
+        clean workdir)."""
+        dirty = self.latest_checkpoint() is not None or any(
+            t.current_snapshot() is not None
+            for t in (self.pages, self.images, self.results, self.fetch_log)
+        )
+        if not dirty:
+            return
+        shutil.rmtree(self.ckpt_root, ignore_errors=True)
+        os.makedirs(self.ckpt_root, exist_ok=True)
+        tables_root = os.path.join(self.workdir, "tables")
+        shutil.rmtree(tables_root, ignore_errors=True)
+        self.pages = IcebergLiteTable(os.path.join(tables_root, "pages"))
+        self.images = IcebergLiteTable(os.path.join(tables_root, "images"))
+        self.results = IcebergLiteTable(os.path.join(tables_root, "results"))
+        self.fetch_log = IcebergLiteTable(os.path.join(tables_root, "fetch_log"))
+
     # ------------------------------------------------------------- run
 
     def run(self, seeds: DataFrame | None = None, resume: bool = False,
@@ -148,6 +167,11 @@ class Crawler:
             log(f"[crawl] resumed from checkpoint wave={last}")
         else:
             assert seeds is not None, "fresh run needs a seeds DataFrame"
+            # a fresh run into a previously-used workdir must not stack
+            # appends on the old run's tables or leave stale checkpoints
+            # a later resume would silently pick up against new seeds —
+            # truncate both explicitly before wave 0
+            self._reset_workdir()
             seeds.write.mode("overwrite").parquet(seeds_path)
             seeds = spark.read.parquet(seeds_path)
             frontier0 = frontier_ops.seeds_to_frontier(seeds, cfg.n_salts)
@@ -167,6 +191,7 @@ class Crawler:
         }
 
         while wave < cfg.max_waves:
+            t_wave0 = time.time()
             frontier.persist()
             # one driver job yields both the frontier size and the host
             # set (hosts_seen drives the per-wave AIMD budget tick)
@@ -205,6 +230,12 @@ class Crawler:
                 .collect()
             }
             n_admitted = sum(s + f for s, f in counts.values())
+            # AIMD tick: exactly one ring update per host per wave; done
+            # BEFORE the metrics append so fetch_log carries the same
+            # post-observation (fail_rate, tasks_num, threshold) triple
+            # the reference's analyse mode records per update
+            # (rate_control.py:42-47)
+            budgets.observe_wave(counts, hosts_seen)
 
             if n_admitted:
                 order_offset += n_admitted
@@ -214,7 +245,15 @@ class Crawler:
                     "url_hash", "url", "host", "page_type", "seed_index",
                     "retry_count", "body", "image_bytes", "caption", "wave", "fetch_order",
                 ))
-                # metrics + per-partition lineage
+                # metrics + per-partition lineage + AIMD telemetry
+                tel_rows = [
+                    (h, *budgets.telemetry_for(h)) for h in sorted(hosts_seen)
+                ]
+                tel = spark.createDataFrame(
+                    tel_rows,
+                    "host string, fail_rate_w10 double, budget double, threshold double",
+                )
+                wall_ms = (time.time() - t_wave0) * 1000.0
                 metrics = (
                     fetched.withColumn("partition_id", F.spark_partition_id())
                     .groupBy("wave", "host", "partition_id")
@@ -223,10 +262,8 @@ class Crawler:
                         F.count_if(F.col("state") == "SUCCESS").alias("n_success"),
                         F.count_if(F.col("state") == "FALSE").alias("n_fail"),
                     )
-                    .withColumn("fail_rate_w10", F.lit(None).cast("double"))
-                    .withColumn("budget", F.lit(None).cast("double"))
-                    .withColumn("threshold", F.lit(None).cast("double"))
-                    .withColumn("wall_ms", F.lit(None).cast("double"))
+                    .join(F.broadcast(tel), "host", "left")
+                    .withColumn("wall_ms", F.lit(wall_ms))
                     .select(
                         "wave", "host", "n_admitted", "n_success", "n_fail",
                         "fail_rate_w10", "budget", "threshold", "partition_id", "wall_ms",
@@ -277,8 +314,6 @@ class Crawler:
                     frontier_next = frontier_next.unionByName(disc)
             else:
                 frontier_next = frontier
-
-            budgets.observe_wave(counts, hosts_seen)
 
             # durable checkpoint every cfg.checkpoint_every waves (and on
             # the final wave, detected next iteration); in between, a

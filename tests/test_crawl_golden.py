@@ -65,3 +65,33 @@ def test_fetch_log_lineage_written(crawl_pair):
     assert {"wave", "host", "n_admitted", "n_success", "n_fail", "partition_id"} <= cols
     total = log.groupBy().sum("n_admitted").first()[0]
     assert total == stats["pages_fetched"]
+
+
+def test_fetch_log_telemetry_recorded(crawl_pair):
+    """AIMD telemetry must be real values, not NULLs: the reference's
+    analyse mode records (fail_rate, tasks_num, threshold) per update
+    (rate_control.py:42-47) and this engine persists the same triple
+    into fetch_log plus the wave wall time."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.plans.rate_control import analyze_rate_log
+
+    spark, c, stats, sim, wd = crawl_pair
+    log = c.fetch_log.read(spark)
+    bad = log.filter(
+        F.col("fail_rate_w10").isNull() | F.col("budget").isNull()
+        | F.col("threshold").isNull() | F.col("wall_ms").isNull()
+    ).count()
+    assert bad == 0
+    rng = log.agg(
+        F.min("fail_rate_w10"), F.max("fail_rate_w10"),
+        F.min("budget"), F.min("threshold"), F.min("wall_ms"),
+    ).first()
+    assert 0.0 <= rng[0] and rng[1] <= 1.0    # fail rate is a rate
+    assert rng[2] >= 0.0 and rng[3] > 0.0     # budget/threshold sane
+    assert rng[4] > 0.0                        # wall time measured
+    # with fail injection on, some wave must observe a non-zero rate
+    assert log.filter(F.col("fail_rate_w10") > 0).count() > 0
+    # the analysis job runs over the real log: one row per (host, wave)
+    series = analyze_rate_log(log)
+    assert series.count() == log.select("host", "wave").distinct().count()
