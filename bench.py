@@ -42,11 +42,6 @@ HEADLINE = [
 ]
 
 
-def _drain(df) -> int:
-    """Force full execution without collecting rows to the driver."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
-
-
 def bench_queries(spark) -> dict[str, float]:
     from fundcrawler_spark.entry_queries import QUERIES
 

@@ -148,6 +148,36 @@ def q_analysis_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_funds(_fund_df(spark, sf_dir), AS_OF)
 
 
+# ---------------------------------------- CSV scan -> analysis (e2e)
+# The reference's analysis reads result.csv with 'None' strings for
+# missing values (result_analyse.py:42-47,57). This entry runs the
+# FULL boundary: 12-col result -> reference-shaped CSV (Chinese
+# headers, NULL -> 'None') -> scan back (typed, 'None' -> NULL) ->
+# select_funds. Same oracle as analysis_topk: the CSV roundtrip must
+# be lossless.
+@register("csv_scan_analysis", QUERIES["analysis_topk"][1])
+def q_csv_scan_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .schemas import RESULT_FIELDS
+    from .sources.sinks import read_result_csv, write_result_csv
+
+    funds = _fund_df(spark, sf_dir)
+    result = funds.select(
+        *[
+            F.col(f) if f in funds.columns else F.lit(None).cast("string").alias(f)
+            for f in RESULT_FIELDS
+        ]
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"csv_scan_analysis_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_result_csv(result, path, single_file=False)
+    return select_funds(read_result_csv(spark, path), AS_OF)
+
+
 # =====================================================================
 # regex projection layer (reference impl/*.py patterns)
 # =====================================================================

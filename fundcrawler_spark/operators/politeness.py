@@ -102,7 +102,10 @@ class RobotsMatcher:
     def allowed(self, path: str) -> bool:
         verdict, best_len = True, -1
         for allow, plen, rx in self.rules:
-            if plen > best_len and rx.match(path):
+            # RFC 9309 §2.2.2: longest match wins; on equivalent-length
+            # matches the least-restrictive (Allow) rule wins regardless
+            # of rule order
+            if (plen > best_len or (plen == best_len and allow)) and rx.match(path):
                 verdict, best_len = allow, plen
         return verdict
 

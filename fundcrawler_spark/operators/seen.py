@@ -318,10 +318,19 @@ class SeenSet:
         )
 
     def _mutate(self, shards: DataFrame, keys: DataFrame, op: str) -> DataFrame:
-        """Insert or delete ``keys(url_hash)``; returns updated shards DF
-        (all shards, touched ones rewritten)."""
+        """Insert or delete ``keys(url_hash)``; returns updated shards DF.
+
+        Only shards whose id appears in ``keys`` enter the cogroup —
+        untouched shard rows are unioned through verbatim (their blobs
+        are never deserialized, mutated, or re-serialized). At the
+        10^10 design point a wave that inserts into a few hosts' worth
+        of shards would otherwise churn ~12 GB of blob bytes through
+        the python workers every wave for zero information."""
         kind, cap, fpr = self.kind, self.capacity, self.fpr
         k = keys.select("url_hash").withColumn("shard_id", self.shard_col(F.col("url_hash")))
+        touched = k.select("shard_id").distinct()
+        untouched = shards.join(F.broadcast(touched), "shard_id", "left_anti")
+        shards = shards.join(F.broadcast(touched), "shard_id", "semi")
 
         def fn(key, kdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
             shard_id = int(key[0])
@@ -346,11 +355,12 @@ class SeenSet:
                 }
             )
 
-        return (
+        updated = (
             k.groupBy("shard_id")
             .cogroup(shards.groupBy("shard_id"))
             .applyInPandas(fn, SEEN_SHARDS_SCHEMA)
         )
+        return untouched.unionByName(updated)
 
     def insert(self, shards: DataFrame, keys: DataFrame) -> DataFrame:
         return self._mutate(shards, keys, "insert")

@@ -57,10 +57,19 @@ class IcebergLiteTable:
 
     # ---------------------------------------------------------- write
 
+    def _next_snapshot_id(self) -> int:
+        """Monotonic over ALL manifests ever written, not current+1:
+        after rollback(n) a commit must NOT reuse id n+1 — os.replace
+        would overwrite the abandoned timeline's manifest and silently
+        change what read(at=n+1) returns, breaking the 'old snapshots
+        stay readable' time-travel contract."""
+        snaps = self.snapshots()
+        return (max(snaps) if snaps else 0) + 1
+
     def append(self, df: DataFrame) -> int:
         """Append df as a new snapshot; returns its id."""
         parent = self.current_snapshot()
-        snap = (parent or 0) + 1
+        snap = self._next_snapshot_id()
         sdir = os.path.join(self.data_dir, f"s{snap:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(sdir)
         files = sorted(
@@ -88,7 +97,7 @@ class IcebergLiteTable:
         """Replace table contents (new snapshot referencing only the new
         files — old snapshots stay readable)."""
         parent = self.current_snapshot()
-        snap = (parent or 0) + 1
+        snap = self._next_snapshot_id()
         sdir = os.path.join(self.data_dir, f"s{snap:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(sdir)
         files = sorted(

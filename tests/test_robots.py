@@ -71,3 +71,17 @@ def test_crawl_delay_caps_admission(spark):
         assert len(per_wave) >= 4  # 16 pages at <=4/wave
     finally:
         shutil.rmtree(wd)
+
+
+def test_equal_length_allow_beats_disallow():
+    """RFC 9309 §2.2.2: on equivalent matches the least-restrictive
+    (Allow) rule wins, even when Disallow is listed first."""
+    txt = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    m = RobotsMatcher(txt)
+    assert m.allowed("/page")
+    # and the reverse order too
+    m2 = RobotsMatcher("User-agent: *\nAllow: /page\nDisallow: /page\n")
+    assert m2.allowed("/page")
+    # longer Disallow still beats shorter Allow
+    m3 = RobotsMatcher("User-agent: *\nAllow: /page\nDisallow: /page/sub\n")
+    assert not m3.allowed("/page/sub/x")

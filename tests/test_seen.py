@@ -79,3 +79,32 @@ def test_bloom_n_items_crosschecked_by_approx_distinct(spark):
     approx = keys.agg(F.approx_count_distinct("url_hash").alias("a")).first()["a"]
     assert n_items == 5000
     assert abs(approx - n_items) / n_items < 0.05
+
+
+def test_untouched_shards_pass_through_verbatim(spark):
+    """Insert keys that touch ONE shard: every other shard's blob must
+    be unioned through without deserialization. Proven behaviorally: a
+    sentinel-invalid blob planted in an untouched shard would crash
+    load_shard's magic assert if it ever entered the mutate kernel."""
+    from fundcrawler_spark.schemas import SEEN_SHARDS_SCHEMA
+
+    ss = SeenSet(spark, n_shards=4, capacity_per_shard=10_000)
+    # build real shards 0..3, then corrupt shard 3's blob
+    keys = spark.range(0, 400).select(F.col("id").alias("url_hash"))
+    shards = ss.insert(ss.empty_shards(), keys)
+    rows = [r.asDict() for r in shards.collect()]
+    sentinel = b"NOT-A-FILTER-BLOB"
+    for r in rows:
+        if r["shard_id"] == 3:
+            r["blob"] = bytearray(sentinel)
+    dirty = spark.createDataFrame(
+        [(r["shard_id"], r["kind"], r["blob"], r["n_items"]) for r in rows],
+        SEEN_SHARDS_SCHEMA,
+    )
+    # keys hitting shard 1 only (pmod(url_hash, 4) == 1)
+    more = spark.range(0, 50).select((F.col("id") * 4 + 1).cast("long").alias("url_hash"))
+    out = {r["shard_id"]: bytes(r["blob"]) for r in ss.insert(dirty, more).collect()}
+    assert out[3] == sentinel                      # untouched: verbatim bytes
+    before = {r["shard_id"]: bytes(r["blob"]) for r in rows}
+    assert out[0] == bytes(before[0]) and out[2] == bytes(before[2])
+    assert out[1] != bytes(before[1])              # touched shard rewritten
