@@ -1104,8 +1104,12 @@ FROM hs
 """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    # Arrow kernel variant — bit-identical to the Column-math
+    # doc_fingerprint (tests/test_topk-adjacent equivalence test) but
+    # vectorized; the HOF chain is interpreted per-element on the JVM.
+    from .operators.textstats import doc_fingerprint_kernel
+
+    return doc_fingerprint_kernel(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------- minhash signature

@@ -141,6 +141,56 @@ def doc_fingerprint(text: Column) -> Column:
     )
 
 
+def doc_fingerprint_kernel(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Arrow/numpy variant of ``doc_fingerprint`` — bit-identical output
+    (same polynomial char hash and base-33 rolling mix mod 2^31-1), but
+    vectorized instead of the interpreted JVM HOF chain (~1-5us per
+    element there: 500 grams x 3 chars x 2 HOF levels per doc).
+
+    The rolling reduce linearizes: fp = sum_i h_i * 33^(n-1-i) mod p,
+    so per doc it is one weighted dot product; products stay < 2^62
+    (both factors < 2^31) and the partial sum < n * p fits int64."""
+    import numpy as np
+    import pandas as pd
+
+    P = P31
+
+    def kernel(batches):
+        pow33 = np.array([1], dtype=np.int64)
+
+        def powers(n: int) -> np.ndarray:
+            nonlocal pow33
+            while len(pow33) < n:
+                nxt = (pow33[-1] * 33) % P
+                pow33 = np.append(pow33, nxt)
+            return pow33[:n]
+
+        for pdf in batches:
+            fps = []
+            for t in pdf[text_col]:
+                t = t or ""
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                if len(cp) >= 3:
+                    # gram i = chars [i, i+3); poly weights 31*pos (1-based)
+                    h = (31 * cp[:-2] + 62 * cp[1:-1] + 93 * cp[2:]) % P
+                else:
+                    # substring(t, 1, 3) of a short string is t itself;
+                    # empty -> ascii('') = 0 in Spark -> hash 0
+                    w = (np.arange(len(cp), dtype=np.int64) + 1) * 31
+                    h = np.array([(cp * w).sum() % P if len(cp) else 0], dtype=np.int64)
+                pw = powers(len(h))[::-1]
+                fps.append(int(((h * pw) % P).sum() % P))
+            yield pd.DataFrame({id_col: pdf[id_col], "fp": fps})
+
+    spark = docs.sparkSession
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, f"{id_col} long, fp long")
+    )
+
+
 def minhash_signature(text: Column, n_hashes: int = 16) -> Column:
     """MinHash signature over 3-gram shingles using the (a*h+b) mod P31
     family with a_i = 2i+1, b_i = 7i+3 — all integer Column math, fully
