@@ -39,29 +39,67 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs via shingle inverted index
     (explode -> self-join on shingle -> count intersections). Never
-    materializes the full cross product; prefix-frequency could prune
-    further at scale."""
+    materializes the full cross product.
+
+    ``max_df`` enables document-frequency pruning for corpus scale: the
+    inverted-index join costs sum over grams of df^2, and a handful of
+    stop-grams (df ~ n) dominate it quadratically. With ``max_df`` set,
+    candidate pairs come only from grams with df <= max_df; the
+    jaccard is then computed EXACTLY on the full gram arrays of the
+    candidates (precision stays 1). Recall heuristic, documented: an
+    edit-derived near-dup pair shares its rare grams, so pruning
+    high-df grams keeps threshold-grade pairs while cutting the join
+    cost from O(sum df^2) to O(sum_{df<=max_df} df^2)."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
-    a, b = [inv.alias(x) for x in ("a", "b")]
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
+    if max_df is None:
+        inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+        a, b = [inv.alias(x) for x in ("a", "b")]
+        inter = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count("*").alias("n_inter"),
+                F.first("a.n_sh").alias("n_a"),
+                F.first("b.n_sh").alias("n_b"),
+            )
         )
+        jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        return inter.withColumn("jaccard", jac).filter(
+            F.col("jaccard") >= threshold
+        ).select("id_a", "id_b", "jaccard")
+
+    sh = sh.persist()
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    rare = (
+        inv.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
     )
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+    pruned = inv.join(rare, "g")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.col("n_sh").alias("n_a")), "id_a"
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.col("n_sh").alias("n_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

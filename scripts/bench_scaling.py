@@ -173,7 +173,15 @@ local[{n4}]; the politeness-bound single-host crawl in bench.py is the
 apples-to-apples number and is AIMD-budget-limited by design, exactly
 like the reference.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve manually-maintained sections (single-node throughput,
+    # reference-scale replay) appended after the generated part
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual_marker = "## Single-node throughput"
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if manual_marker in old:
+            md = md + "\n" + old[old.index(manual_marker):]
+    with open(out_path, "w") as f:
         f.write(md)
     print(json.dumps({
         "eff_pages": round(eff_pages, 3),
