@@ -1183,6 +1183,44 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.85)
 
 
+# ----------------------------- near-dup groups (connected components)
+# The dedup-group step after pair finding: keeper = min doc_id per
+# connected component of the near-dup graph. Spark side converges
+# min-label propagation (O(diameter) joins); the oracle reaches the
+# same fixpoint as a recursive-CTE transitive closure.
+@register(
+    "dedup_groups",
+    f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.85),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+""",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import neardup_groups
+
+    return neardup_groups(_t(spark, sf_dir, "documents"), threshold=0.85)
+
+
+# IVF approximate nearest neighbors (coarse-quantizer scale path; the
+# exact brute-force variant is oracle-checked as embedding_topk).
+@register("embedding_ann_ivf", None)
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 # ------------------------------------------- embedding top-k (cosine)
 @register(
     "embedding_topk",

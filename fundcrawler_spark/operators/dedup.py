@@ -252,6 +252,64 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_groups(
+    docs: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, group_id): connected components over the near-dup pair
+    graph — the dedup-group step a production pipeline runs after pair
+    finding (keeper = min id per group; singletons group with
+    themselves).
+
+    Min-label propagation: each round every node takes the min label
+    among itself and its neighbors; converges in O(graph diameter)
+    rounds — near-dup components are edit-clusters with tiny diameter,
+    so this is 2-4 joins in practice. Each round shuffles only
+    (id, label) pairs; the text never enters the loop. (The
+    large-star/small-star variant would cut rounds to O(log d) at
+    planetary scale; diameter-bounded propagation is the right cost
+    here and is exactly the fixpoint a SQL transitive closure
+    reaches, which is what the oracle checks.)"""
+    pairs = minhash_lsh_pairs(docs, threshold, id_col=id_col, text_col=text_col)
+    fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+
+    labels = docs.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    while True:
+        labels = labels.persist()
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        nxt = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("group_id"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -164,6 +164,95 @@ def lsh_topk(
     return top.select("query_id", "neighbor_id", "rank")
 
 
+def _ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
+                   sample: int, iters: int, id_col: str):
+    """Deterministic coarse quantizer: Lloyd k-means (cosine/spherical)
+    on an id-ordered sample, driver-side numpy. The sample bounds the
+    driver work — at 100 TB the codebook still trains on a few thousand
+    rows while assignment stays fully distributed."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # splitmix64-spread initial picks over the sample (deterministic)
+    from .dedup import _splitmix64
+
+    idx = sorted({v % len(X) for v in _splitmix64(4 * n_centroids, salt=3)})[:n_centroids]
+    C = X[np.array(idx)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def _assign_cells(df: DataFrame, id_col: str, out_id: str, vec_col: str,
+                  C, n_probe: int) -> DataFrame:
+    """(out_id, v, cells array<int>[n_probe]): nearest-centroid cells by
+    cosine, one numpy matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    Cb = C  # closed over; small (n_centroids x dim)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ Cb.T
+            cells = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+            yield pd.DataFrame({out_id: pdf[id_col].to_numpy(),
+                                "v": list(V), "cells": list(cells)})
+
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, f"{out_id} long, v array<double>, cells array<int>")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their nearest
+    centroid's cell (inverted file); each query scores only the cells of
+    its ``n_probe`` nearest centroids. The scale shape: shuffle key =
+    cell id, each task scans one posting list — recall/cost tuned by
+    (n_centroids, n_probe) instead of the corpus size."""
+    C = _ivf_centroids(corpus, vec_col, n_centroids, sample, iters, id_col)
+    c = _assign_cells(corpus, id_col, "neighbor_id", vec_col, C, 1)
+    q = _assign_cells(queries, id_col, "query_id", vec_col, C, n_probe)
+    ce = c.select("neighbor_id", "v", F.element_at("cells", 1).alias("cell"))
+    qe = q.select("query_id", F.col("v").alias("qv"), F.explode("cells").alias("cell"))
+    scored = (
+        ce.join(F.broadcast(qe), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+    )
+    top = grouped_topk(
+        scored, ["query_id"], [F.col("sim").desc()], k, tiebreak=["neighbor_id"]
+    )
+    return top.select("query_id", "neighbor_id", "rank")
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

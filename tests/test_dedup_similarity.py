@@ -135,3 +135,54 @@ def test_brute_force_topk_matches_numpy(spark):
     )
     expect = [i for _, i in sims[:3]]
     assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == expect
+
+
+def test_neardup_groups_equal_union_find(spark):
+    """Connected components via min-label propagation must equal a
+    driver-side union-find over the exact pair set."""
+    from fundcrawler_spark.operators.dedup import neardup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = [(r["id_a"], r["id_b"])
+             for r in jaccard_pairs(docs, threshold=0.85).collect()]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in ids}
+    got = {r["doc_id"]: r["group_id"] for r in neardup_groups(docs).collect()}
+    assert got == expect
+    assert any(v != k for k, v in got.items())  # planted dups group up
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from fundcrawler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    out = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[qi] & approx.get(qi, set())) for qi in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, (hits, total, approx)
+    # ranks contiguous per query
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
