@@ -45,6 +45,13 @@ HEADLINE = [
 def bench_queries(spark) -> dict[str, float]:
     from fundcrawler_spark.entry_queries import QUERIES
 
+    # untimed warmup: whole-stage-codegen compilation and the Arrow
+    # python-worker pool are per-session costs, not per-query costs —
+    # spin both up once so the first measured query isn't charged for
+    # them (one JVM job + one trivial mapInPandas job)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+
     out = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
