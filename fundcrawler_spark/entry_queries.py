@@ -1130,11 +1130,17 @@ FROM sig
 """,
 )
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(F.col("text"), 16)
-    return d.select(
+    # Arrow kernel, bit-identical to the Column-math minhash_signature
+    # (tests/test_kernel_equivalence.py) — the 16 interpreted HOF
+    # min-probes over ~500 gram hashes per doc cost ~30ms/doc otherwise.
+    from .operators.textstats import minhash_signature_kernel
+
+    sig = minhash_signature_kernel(_t(spark, sf_dir, "documents"), 16)
+    return sig.select(
         "doc_id",
-        F.concat_ws("-", F.transform(sig, lambda s: s.cast("string"))).alias("sig_str"),
+        F.concat_ws(
+            "-", F.transform(F.col("sig"), lambda s: s.cast("string"))
+        ).alias("sig_str"),
     )
 
 

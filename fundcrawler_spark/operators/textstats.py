@@ -208,6 +208,44 @@ def minhash_signature(text: Column, n_hashes: int = 16) -> Column:
     )
 
 
+def minhash_signature_kernel(docs: DataFrame, n_hashes: int = 16,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Arrow/numpy variant of ``minhash_signature`` — bit-identical
+    (same 3-gram poly hash and (2i+1)h+(7i+3) mod p probe family; min
+    over duplicate grams equals min over the distinct set, so the
+    distinct step drops out). One vectorized expression per doc instead
+    of n_hashes x n_grams interpreted HOF probes."""
+    import numpy as np
+    import pandas as pd
+
+    P = P31
+    A = np.arange(n_hashes, dtype=np.int64) * 2 + 1
+    B = np.arange(n_hashes, dtype=np.int64) * 7 + 3
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = []
+            for t in pdf[text_col]:
+                t = t or ""
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                if len(cp) >= 3:
+                    h = (31 * cp[:-2] + 62 * cp[1:-1] + 93 * cp[2:]) % P
+                else:
+                    w = (np.arange(len(cp), dtype=np.int64) + 1) * 31
+                    h = np.array([(cp * w).sum() % P if len(cp) else 0], dtype=np.int64)
+                sig = ((h[None, :] * A[:, None] + B[:, None]) % P).min(axis=1)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    spark = docs.sparkSession
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, f"{id_col} long, sig array<long>")
+    )
+
+
 def simhash32(text: Column, n_bits: int = 32) -> Column:
     """32-bit SimHash over whitespace tokens hashed with poly_hash:
     bit j set iff sum over tokens of sign((token_hash >> j) & 1) > 0.

@@ -88,3 +88,22 @@ def run_metrics_stream(
     else:
         q = writer.trigger(processingTime="5 seconds").start()
     return q
+
+
+def streaming_url_dedup(urls: DataFrame, watermark: str = "30 seconds") -> DataFrame:
+    """Exactly-once URL admission for a CONTINUOUS discovery feed — the
+    streaming analog of the wave loop's seen-set anti-join: canonicalize
+    -> xxhash64 -> dropDuplicatesWithinWatermark(url_hash). State is the
+    per-key dedup store bounded by the watermark horizon (the batch
+    engine's bloom shards are the unbounded-horizon variant; a real
+    deployment composes both: in-horizon exact dedup here, historical
+    membership via the sharded filters)."""
+    from ..functions.urlnorm import canonicalize_url, url_hash, url_host
+
+    return (
+        urls.withColumn("url_norm", canonicalize_url(F.col("url")))
+        .withColumn("url_hash", url_hash(F.col("url_norm")))
+        .withColumn("host", url_host(F.col("url_norm")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_hash"])
+    )
