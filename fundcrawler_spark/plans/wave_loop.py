@@ -190,6 +190,32 @@ class Crawler:
             for h, txt in cfg.robots_by_host.items()
         }
 
+        # pages/fetch_log appends batch at checkpoint boundaries: the
+        # durable table state only matters AT a checkpoint (resume rolls
+        # snapshots back to one), so waves in between buffer their
+        # persisted fetch results and commit as one snapshot — same
+        # rows, checkpoint_every x fewer table commits
+        pending_pages: list[DataFrame] = []
+        pending_logs: list[DataFrame] = []
+        pending_persisted: list[DataFrame] = []
+
+        def flush_tables() -> None:
+            if pending_pages:
+                df = pending_pages[0]
+                for d in pending_pages[1:]:
+                    df = df.unionByName(d)
+                self.pages.append(df)
+                pending_pages.clear()
+            if pending_logs:
+                df = pending_logs[0]
+                for d in pending_logs[1:]:
+                    df = df.unionByName(d)
+                self.fetch_log.append(df)
+                pending_logs.clear()
+            for d in pending_persisted:
+                d.unpersist()
+            pending_persisted.clear()
+
         while wave < cfg.max_waves:
             t_wave0 = time.time()
             frontier.persist()
@@ -230,6 +256,9 @@ class Crawler:
                 .collect()
             }
             n_admitted = sum(s + f for s, f in counts.values())
+            # both stay cached until the buffered appends flush — the
+            # pending pages/metrics plans read from these cached blocks
+            pending_persisted.extend([fetched, admitted])
             # AIMD tick: exactly one ring update per host per wave; done
             # BEFORE the metrics append so fetch_log carries the same
             # post-observation (fail_rate, tasks_num, threshold) triple
@@ -241,7 +270,7 @@ class Crawler:
                 order_offset += n_admitted
 
                 ok = fetched.filter(F.col("state") == "SUCCESS")
-                self.pages.append(ok.select(
+                pending_pages.append(ok.select(
                     "url_hash", "url", "host", "page_type", "seed_index",
                     "retry_count", "body", "image_bytes", "caption", "wave", "fetch_order",
                 ))
@@ -269,7 +298,7 @@ class Crawler:
                         "fail_rate_w10", "budget", "threshold", "partition_id", "wall_ms",
                     )
                 )
-                self.fetch_log.append(metrics)
+                pending_logs.append(metrics)
 
                 # frontier update
                 rest = frontier_ops.remove_admitted(frontier, admitted)
@@ -320,25 +349,26 @@ class Crawler:
             # localCheckpoint cuts lineage without the parquet round-trip
             # — resume granularity vs per-wave overhead is the knob
             if wave % cfg.checkpoint_every == cfg.checkpoint_every - 1:
+                # table commits align with durable checkpoints: flush the
+                # buffered appends FIRST so the checkpoint's snapshot ids
+                # capture exactly waves <= this one
+                flush_tables()
                 frontier_next = frontier_next.repartition(cfg.n_salts, "url_hash")
                 self._write_checkpoint(wave, frontier_next, shards, budgets, order_offset)
                 d = self._ckpt_dir(wave)
                 frontier.unpersist()
-                fetched.unpersist()
-                admitted.unpersist()
                 frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
                 shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
             else:
                 frontier_new = frontier_next.repartition(cfg.n_salts, "url_hash").localCheckpoint()
                 shards = shards.localCheckpoint()
                 frontier.unpersist()
-                fetched.unpersist()
-                admitted.unpersist()
                 frontier = frontier_new
             log(f"[crawl] wave={wave} frontier={n_frontier} admitted={n_admitted}")
             wave += 1
 
         # final durable checkpoint so the last state is always resumable
+        flush_tables()
         if wave > 0 and self.latest_checkpoint() != wave - 1:
             self._write_checkpoint(wave - 1, frontier, shards, budgets, order_offset)
 

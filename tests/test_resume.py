@@ -56,3 +56,36 @@ def test_torn_checkpoint_not_resumed(spark):
         assert Crawler(spark, wd, cfg).latest_checkpoint() == last - 1
     finally:
         shutil.rmtree(wd)
+
+
+def test_resume_with_batched_appends(spark):
+    """checkpoint_every>1 buffers pages/fetch_log appends between
+    durable checkpoints; a kill mid-interval must resume from the last
+    checkpoint and converge to the identical final state."""
+    seeds = spark.createDataFrame(fx.seed_rows(8), SEEDS_SCHEMA)
+    full = CrawlConfig(fail_rate=0.08, max_fail_attempts=1, max_waves=25,
+                       n_shards=8, checkpoint_every=3)
+    half = CrawlConfig(fail_rate=0.08, max_fail_attempts=1, max_waves=5,
+                       n_shards=8, checkpoint_every=3)
+    wd1, wd2 = tempfile.mkdtemp(prefix="rbA_"), tempfile.mkdtemp(prefix="rbB_")
+    try:
+        c1 = Crawler(spark, wd1, full)
+        s1 = c1.run(seeds=seeds, log=lambda *a: None)
+        Crawler(spark, wd2, half).run(seeds=seeds, log=lambda *a: None)
+        c2 = Crawler(spark, wd2, full)
+        s2 = c2.run(resume=True, log=lambda *a: None)
+        assert (s1["waves"], s1["pages_fetched"]) == (s2["waves"], s2["pages_fetched"])
+        key = lambda r: (r["fetch_order"], r["url_hash"], r["wave"])
+        p1 = sorted(map(key, c1.pages.read(spark).collect()))
+        p2 = sorted(map(key, c2.pages.read(spark).collect()))
+        assert p1 == p2
+        # fetch_log rows must also be complete and consistent (telemetry
+        # is wave-deterministic except wall_ms)
+        lkey = lambda r: (r["wave"], r["host"], r["n_admitted"], r["n_success"],
+                          r["n_fail"], r["fail_rate_w10"], r["budget"], r["threshold"])
+        l1 = sorted(map(lkey, c1.fetch_log.read(spark).collect()))
+        l2 = sorted(map(lkey, c2.fetch_log.read(spark).collect()))
+        assert l1 == l2
+    finally:
+        shutil.rmtree(wd1)
+        shutil.rmtree(wd2)
