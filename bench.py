@@ -76,6 +76,11 @@ def bench_crawl(spark) -> dict:
         cfg = CrawlConfig(
             fail_rate=0.0, max_waves=200, n_shards=32,
             init_budget=160.0, max_budget=160, checkpoint_every=5,
+            # shards sized to the workload (8k keys / 32 shards, wide
+            # FPR margin) — the 10^10 design point sizes 1024 shards x
+            # 10M keys the same way; a fixed 1M/shard here would churn
+            # 40 MB of blob bytes per wave for a 2000-seed crawl
+            shard_capacity=100_000,
         )
         t0 = time.time()
         stats = Crawler(spark, wd, cfg).run(seeds=seeds, log=lambda *a: None)

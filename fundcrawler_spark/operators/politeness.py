@@ -151,7 +151,8 @@ def with_page_ordinal(df: DataFrame) -> DataFrame:
     return df.withColumn("page_ordinal", m.otherwise(expr).cast("int"))
 
 
-def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int) -> DataFrame:
+def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int,
+          approx_rows: int | None = None) -> DataFrame:
     """Rank candidates per host, keep rank <= that host's budget.
 
     Physical shape: the ranking shuffles ONLY the slim scheduling
@@ -175,6 +176,11 @@ def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int) -> Data
     else:
         slim = slim.withColumn("budget", F.lit(0))
     slim = slim.filter(F.col("budget") > 0)
+    # plan choice: below ~250k candidates the salted pre-phase costs
+    # more in stages than the skew it prevents — one exact window is
+    # cheaper and rank-identical (the wave loop passes its frontier
+    # count; None = unknown = assume big)
+    small = approx_rows is not None and approx_rows <= 250_000
     ranked = grouped_topk(
         slim,
         ["host"],
@@ -182,6 +188,7 @@ def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int) -> Data
         max(max_budget, 1),
         rank_col="host_rank",
         salt_cols=["seed_index", "page_ordinal", "retry_count"],
+        salted=not small,
     )
     winners = ranked.filter(F.col("host_rank") <= F.col("budget")).select(
         "url_hash", "host_rank"

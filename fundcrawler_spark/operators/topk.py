@@ -35,6 +35,7 @@ def grouped_topk(
     rank_col: str = "rank",
     n_salts: int = 32,
     salt_cols: list[str] | None = None,
+    salted: bool = True,
 ) -> DataFrame:
     """Exact per-group top-K with a salted pre-aggregation phase.
 
@@ -42,8 +43,18 @@ def grouped_topk(
     custom direction. Result keeps all input columns + ``rank_col``.
     ``salt_cols``: columns whose hash spreads rows of one group across
     salt cells (must vary within a group!); defaults to ``tiebreak``.
+    ``salted=False`` skips the pre-phase and runs ONE exact window —
+    the right physical plan when the caller knows the per-group row
+    count is small (the rank values are identical either way; this is
+    a plan choice, not a semantics choice).
     """
     order = _order(list(order_by), list(tiebreak))
+    if not salted:
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k)
+        )
     salt_src = salt_cols if salt_cols is not None else list(tiebreak)
     if not salt_src:
         raise ValueError("grouped_topk needs tiebreak or salt_cols to salt on")

@@ -239,7 +239,8 @@ class Crawler:
             cand = frontier
             if cfg.robots_by_host:
                 cand = robots_filter(cand, cfg.robots_by_host, cfg.agent)
-            admitted = admit(cand, wave_budgets, cfg.max_budget)
+            admitted = admit(cand, wave_budgets, cfg.max_budget,
+                             approx_rows=n_frontier)
             admitted.persist()
 
             fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts,
@@ -361,7 +362,11 @@ class Crawler:
                 shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
             else:
                 frontier_new = frontier_next.repartition(cfg.n_salts, "url_hash").localCheckpoint()
-                shards = shards.localCheckpoint()
+                # lazy checkpoint: truncates the cogroup lineage but
+                # defers materialization to the next job that reads the
+                # shards (next wave's insert / the durable write) — one
+                # fewer eager job per wave, same bytes
+                shards = shards.localCheckpoint(eager=False)
                 frontier.unpersist()
                 frontier = frontier_new
             log(f"[crawl] wave={wave} frontier={n_frontier} admitted={n_admitted}")

@@ -25,3 +25,22 @@ def test_small_group_under_k(spark):
         .withColumn("id", F.monotonically_increasing_id())
     out = grouped_topk(df, ["g"], ["v"], 10, tiebreak=["id"])
     assert out.count() == 2
+
+
+def test_unsalted_plan_is_rank_identical(spark):
+    """salted=False is a physical-plan choice only: identical ranks."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.operators.topk import grouped_topk
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 2654435761 % 1000).alias("score"),
+        F.col("id").alias("tid"),
+    )
+    a = grouped_topk(df, ["g"], [F.col("score").desc()], 10, tiebreak=["tid"])
+    b = grouped_topk(df, ["g"], [F.col("score").desc()], 10, tiebreak=["tid"],
+                     salted=False)
+    ka = sorted((r["g"], r["rank"], r["tid"]) for r in a.collect())
+    kb = sorted((r["g"], r["rank"], r["tid"]) for r in b.collect())
+    assert ka == kb
