@@ -48,3 +48,21 @@ def test_flagship_stays_codegen(spark):
     # WindowGroupLimit = rank-limit pushdown below the top-K windows
     assert "*(" in plan, plan[:2000]
     assert "WindowGroupLimit" in plan
+
+
+def test_neardup_and_similarity_plans_never_cartesian(spark):
+    """Scale guard: the LSH/near-dup pipelines must candidate-generate
+    via equi-joins on band/bucket/cell keys — a CartesianProduct (or
+    non-broadcast nested loop) anywhere means the O(n^2) path snuck
+    back in."""
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    for name in ("neardup_jaccard", "embedding_neardup", "embedding_ann_lsh",
+                 "embedding_ann_ivf", "dedup_groups"):
+        fn, _ = QUERIES[name]
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin is acceptable only for the tiny
+        # broadcast query side; reject it on the self-join paths
+        if name in ("neardup_jaccard", "embedding_neardup", "dedup_groups"):
+            assert "NestedLoop" not in plan, name
