@@ -1197,18 +1197,20 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_groups",
     f"""
-WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents),
-pairs AS (
+WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents),
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.grams, b.grams))
       / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.85),
-edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
 reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT a, a FROM edges GROUP BY a
   UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+grp AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src)
+SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+FROM documents d LEFT JOIN grp g USING (doc_id)
 """,
 )
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
