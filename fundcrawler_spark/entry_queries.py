@@ -157,7 +157,9 @@ def q_analysis_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # be lossless.
 @register("csv_scan_analysis", QUERIES["analysis_topk"][1])
 def q_csv_scan_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from .schemas import RESULT_FIELDS
@@ -170,10 +172,12 @@ def q_csv_scan_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in RESULT_FIELDS
         ]
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"csv_scan_analysis_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # per-invocation private dir: a fixed shared-tmp name raced two
+    # concurrent sessions at the same sf (overwrite-vs-read) and could
+    # serve a stale dir after a partial write. The returned DataFrame
+    # reads the CSV lazily, so the dir is reaped at exit, not here.
+    path = tempfile.mkdtemp(prefix="csv_scan_analysis_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     write_result_csv(result, path, single_file=False)
     return select_funds(read_result_csv(spark, path), AS_OF)
 

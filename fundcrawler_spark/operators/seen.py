@@ -16,6 +16,18 @@ reference simulator reproduces the exact same filters bit-for-bit.
 
 Bloom supports insert+probe; cuckoo adds delete (retry-eviction
 semantics when inserting on admission rather than on success).
+
+Collision contract: the set is keyed by the 64-bit ``url_hash``
+(xxhash64 of the canonical URL), not the URL itself, so two distinct
+URLs colliding on url_hash are indistinguishable from a re-crawl of one
+URL. At the 10^10-key design point the expected number of colliding
+pairs is n^2 / 2^65 ~ 2.7 — i.e. ~3 URLs over the whole crawl are
+silently skipped as "already seen". That error mode is strictly weaker
+than the bloom filter's own configured 1% false-positive rate (10^8
+keys spuriously "seen"), so hash collisions are subsumed by the FPR
+semantics the probe already advertises: a ``seen=true`` answer is
+always "probably seen", never a correctness guarantee, while
+``seen=false`` remains exact (no false negatives from either source).
 """
 
 from __future__ import annotations

@@ -131,15 +131,15 @@ class Crawler:
         budgets = BudgetTable.from_dict(meta["budgets"], max_num=float(self.cfg.max_budget))
         return frontier, shards, budgets, meta["order_offset"]
 
-    def _reset_workdir(self) -> None:
-        """Truncate table dirs + checkpoints for a fresh run (no-op on a
-        clean workdir)."""
-        dirty = self.latest_checkpoint() is not None or any(
+    def _workdir_dirty(self) -> bool:
+        return self.latest_checkpoint() is not None or any(
             t.current_snapshot() is not None
             for t in (self.pages, self.images, self.results, self.fetch_log)
         )
-        if not dirty:
-            return
+
+    def _reset_workdir(self) -> None:
+        """Truncate table dirs + checkpoints (callers gate this behind an
+        explicit ``overwrite=True`` — it destroys a prior crawl)."""
         shutil.rmtree(self.ckpt_root, ignore_errors=True)
         os.makedirs(self.ckpt_root, exist_ok=True)
         tables_root = os.path.join(self.workdir, "tables")
@@ -152,7 +152,7 @@ class Crawler:
     # ------------------------------------------------------------- run
 
     def run(self, seeds: DataFrame | None = None, resume: bool = False,
-            log=print) -> dict:
+            overwrite: bool = False, log=print) -> dict:
         cfg = self.cfg
         spark = self.spark
 
@@ -170,8 +170,17 @@ class Crawler:
             # a fresh run into a previously-used workdir must not stack
             # appends on the old run's tables or leave stale checkpoints
             # a later resume would silently pick up against new seeds —
-            # truncate both explicitly before wave 0
-            self._reset_workdir()
+            # truncate both explicitly before wave 0. The truncate is
+            # destructive (drops a prior crawl's pages/results), so it
+            # requires an explicit overwrite=True; the default refuses.
+            if self._workdir_dirty():
+                if not overwrite:
+                    raise RuntimeError(
+                        f"workdir {self.workdir!r} holds a prior crawl "
+                        "(tables or checkpoints present); pass resume=True "
+                        "to continue it or overwrite=True to discard it"
+                    )
+                self._reset_workdir()
             seeds.write.mode("overwrite").parquet(seeds_path)
             seeds = spark.read.parquet(seeds_path)
             frontier0 = frontier_ops.seeds_to_frontier(seeds, cfg.n_salts)
@@ -199,7 +208,7 @@ class Crawler:
         pending_logs: list[DataFrame] = []
         pending_persisted: list[DataFrame] = []
 
-        def flush_tables() -> None:
+        def flush_appends() -> None:
             if pending_pages:
                 df = pending_pages[0]
                 for d in pending_pages[1:]:
@@ -212,6 +221,16 @@ class Crawler:
                     df = df.unionByName(d)
                 self.fetch_log.append(df)
                 pending_logs.clear()
+
+        def release_caches() -> None:
+            # Only AFTER the durable checkpoint has written the seen
+            # shards: the shard lineage is a chain of lazy
+            # localCheckpoint(eager=False) inserts that still reads the
+            # cached fetched/admitted frames. Unpersisting earlier would
+            # recompute up to checkpoint_every waves of fetch work at the
+            # checkpoint write — and with a non-deterministic transport
+            # the recomputed outcomes could desync the seen set from the
+            # pages rows already committed.
             for d in pending_persisted:
                 d.unpersist()
             pending_persisted.clear()
@@ -353,13 +372,14 @@ class Crawler:
                 # table commits align with durable checkpoints: flush the
                 # buffered appends FIRST so the checkpoint's snapshot ids
                 # capture exactly waves <= this one
-                flush_tables()
+                flush_appends()
                 frontier_next = frontier_next.repartition(cfg.n_salts, "url_hash")
                 self._write_checkpoint(wave, frontier_next, shards, budgets, order_offset)
                 d = self._ckpt_dir(wave)
                 frontier.unpersist()
                 frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
                 shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
+                release_caches()
             else:
                 frontier_new = frontier_next.repartition(cfg.n_salts, "url_hash").localCheckpoint()
                 # lazy checkpoint: truncates the cogroup lineage but
@@ -373,9 +393,10 @@ class Crawler:
             wave += 1
 
         # final durable checkpoint so the last state is always resumable
-        flush_tables()
+        flush_appends()
         if wave > 0 and self.latest_checkpoint() != wave - 1:
             self._write_checkpoint(wave - 1, frontier, shards, budgets, order_offset)
+        release_caches()
 
         # ---- finalize: barrier-join assembly over all fetched pages
         pages = self.pages.read(spark)

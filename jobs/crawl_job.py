@@ -21,6 +21,8 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--seeds", type=int, default=100)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="discard a prior crawl found in --workdir")
     ap.add_argument("--fail-rate", type=float, default=0.0)
     ap.add_argument("--max-waves", type=int, default=200)
     ap.add_argument("--init-budget", type=float, default=None)
@@ -45,7 +47,7 @@ def main() -> None:
         stats = crawler.run(resume=True)
     else:
         seeds = spark.createDataFrame(fx.seed_rows(args.seeds), SEEDS_SCHEMA)
-        stats = crawler.run(seeds=seeds)
+        stats = crawler.run(seeds=seeds, overwrite=args.overwrite)
     print(json.dumps(stats))
     spark.stop()
 

@@ -58,6 +58,26 @@ def test_torn_checkpoint_not_resumed(spark):
         shutil.rmtree(wd)
 
 
+def test_fresh_run_refuses_dirty_workdir(spark):
+    """A fresh run must not silently destroy a prior crawl: it raises on
+    a dirty workdir unless overwrite=True is passed explicitly."""
+    import pytest
+
+    seeds = spark.createDataFrame(fx.seed_rows(4), SEEDS_SCHEMA)
+    cfg = CrawlConfig(fail_rate=0.0, max_waves=3, n_shards=4)
+    wd = tempfile.mkdtemp(prefix="dirty_")
+    try:
+        Crawler(spark, wd, cfg).run(seeds=seeds, log=lambda *a: None)
+        with pytest.raises(RuntimeError, match="overwrite=True"):
+            Crawler(spark, wd, cfg).run(seeds=seeds, log=lambda *a: None)
+        # explicit overwrite truncates and reruns cleanly from wave 0
+        c = Crawler(spark, wd, cfg)
+        stats = c.run(seeds=seeds, overwrite=True, log=lambda *a: None)
+        assert stats["pages_fetched"] == c.pages.read(spark).count()
+    finally:
+        shutil.rmtree(wd)
+
+
 def test_resume_with_batched_appends(spark):
     """checkpoint_every>1 buffers pages/fetch_log appends between
     durable checkpoints; a kill mid-interval must resume from the last
