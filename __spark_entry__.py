@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fundcrawler_spark.entry_queries import QUERIES  # noqa: E402
+from fundcrawler_spark.entry_queries import QUERIES, resolve_oracle  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,4 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+    out = {}
+    for name, (_, oracle) in QUERIES.items():
+        sql = resolve_oracle(oracle)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -15,6 +15,7 @@ Parity rules (both engines MUST agree bit-for-bit on the value hash):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -38,15 +39,24 @@ from .schemas import PAGE_TYPES
 
 AS_OF = "2026-08-01"
 
-QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+# oracle is a SQL string, None (rows-only check), or a zero-arg callable
+# returning the SQL — used when building the oracle needs non-trivial
+# driver work (e.g. decoding the deterministic image fixtures) that
+# must not run at import time. Consumers resolve via resolve_oracle().
+Oracle = str | None | Callable[[], str]
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Oracle]] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: Oracle):
     def deco(fn):
         QUERIES[name] = (fn, oracle)
         return fn
 
     return deco
+
+
+def resolve_oracle(oracle: Oracle) -> str | None:
+    return oracle() if callable(oracle) else oracle
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1149,14 +1159,15 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- simhash
-@register(
-    "simhash",
-    f"""
-WITH tok AS (
+_SIMHASH_CTES_SQL = f"""
+tok AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks
   FROM documents),
 hs AS (SELECT doc_id, list_transform(toks, t -> {_poly_sql('t')}) AS hashes FROM tok)
+"""
+
+_SIMHASH_SELECT_SQL = """
 SELECT doc_id,
   list_reduce(list_transform(range(0, 32), bit_j ->
     CASE WHEN list_reduce(list_transform(hashes,
@@ -1165,11 +1176,34 @@ SELECT doc_id,
          THEN (CAST(1 AS BIGINT) << CAST(bit_j AS INT)) ELSE CAST(0 AS BIGINT) END),
     (x, y) -> x + y) AS simhash
 FROM hs
-""",
-)
+"""
+
+
+@register("simhash", f"WITH {_SIMHASH_CTES_SQL}{_SIMHASH_SELECT_SQL}")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+
+
+# ------------------------------------------------------ simhash pairs
+# The pair op is deterministic: pigeonhole blocking on 4x 8-bit chunks
+# guarantees every hamming<=3 pair shares a chunk, and the verify stage
+# filters on the exact distance — so the output IS the exact pair set,
+# and the oracle is a plain self-join over the same simhash values.
+@register(
+    "simhash_pairs",
+    f"""
+WITH {_SIMHASH_CTES_SQL}, s AS ({_SIMHASH_SELECT_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # -------------------------------- near-dup pairs: MinHash LSH + verify
@@ -1338,8 +1372,41 @@ def q_images_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Image near-duplicate pairs by perceptual hash (pigeonhole-blocked
-# hamming join) over the fixture image set.
-@register("phash_near_dup_pairs", None)
+# hamming join) over the fixture image set. The pair op is
+# deterministic (chunk blocking guarantees recall for any max_hamming,
+# dedup.py phash_near_dups), so it IS oracle-checkable: the oracle
+# inlines the 72 fixture (image_id, phash) values — computed
+# driver-side by the same deterministic decode->phash path the
+# mapInPandas kernel runs (pixel-level decode correctness is covered
+# separately by the PSNR tests) — and checks the PAIR LOGIC against an
+# exact DuckDB self-join + bit_count(xor). Lazy (callable) oracle: the
+# fixture decode costs ~0.5s and must not run at import.
+@functools.lru_cache(maxsize=1)
+def _phash_oracle_sql() -> str:
+    from . import fixtures as fx
+    from .functions import imaging
+
+    rows = fx.image_rows(64)
+    entries = []
+    for r in rows:
+        arr = imaging.decode_image(bytes(r[1]), r[4])
+        entries.append((r[0], int(imaging.phash64(arr))))
+    for i in range(0, 64, 8):
+        arr = imaging.decode_image(bytes(rows[i][1]), rows[i][4])
+        rt = imaging.decode_image(bytes(imaging.encode_image(arr, "dctq")), "dctq")
+        entries.append((f"dup_{rows[i][0]}", int(imaging.phash64(rt))))
+    values = ",\n".join(f"('{i}', CAST({h} AS BIGINT))" for i, h in entries)
+    return f"""
+WITH p(image_id, phash) AS (VALUES
+{values})
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM p a JOIN p b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 10
+"""
+
+
+@register("phash_near_dup_pairs", _phash_oracle_sql)
 def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import fixtures as fx
     from .functions import imaging

@@ -37,7 +37,7 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main(names: list[str]) -> int:
-    from fundcrawler_spark.entry_queries import QUERIES
+    from fundcrawler_spark.entry_queries import QUERIES, resolve_oracle
     from fundcrawler_spark.session import get_spark
 
     spark = get_spark(app_name="parity", cores=8, shuffle_partitions=8)
@@ -49,6 +49,7 @@ def main(names: list[str]) -> int:
     n_fail = 0
     for name in targets:
         fn, sql = QUERIES[name]
+        sql = resolve_oracle(sql)
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()

@@ -7,7 +7,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from fundcrawler_spark.entry_queries import QUERIES
+from fundcrawler_spark.entry_queries import QUERIES, resolve_oracle
 
 SF = "/root/testdata/sf0.001"
 TABLES = [
@@ -36,6 +36,8 @@ FAST = [
     "lang_id",
     "doc_fingerprint",
     "simhash",
+    "simhash_pairs",
+    "phash_near_dup_pairs",
     "neardup_jaccard",
     "embedding_topk",
     "embedding_neardup",
@@ -62,7 +64,7 @@ def _norm(df: pd.DataFrame) -> list[tuple]:
 def test_query_matches_oracle(spark, con, name):
     fn, sql = QUERIES[name]
     sdf = fn(spark, SF).toPandas()
-    odf = con.execute(sql).df()
+    odf = con.execute(resolve_oracle(sql)).df()
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
     assert _norm(sdf) == _norm(odf)
