@@ -75,7 +75,7 @@ def jaccard_pairs(
             F.col("jaccard") >= threshold
         ).select("id_a", "id_b", "jaccard")
 
-    sh = sh.persist()
+    sh = sh.persist()  # released below once the pair set is materialized
     inv = sh.select("id", F.explode("sh").alias("g"))
     rare = (
         inv.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
@@ -96,11 +96,16 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
+    out = (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        # the verified pair set is tiny — materialize it so the shingle
+        # cache can be released instead of leaking for the session
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 _LSH_P = 2147483647
@@ -119,69 +124,207 @@ def _splitmix64(n: int, salt: int = 0) -> list[int]:
     return out
 
 
+_POLY_B = 131  # Horner base for word/gram hashing (arrays stay int64)
+_WS_CODEPOINTS = (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C)
+_SEP = 0  # U+0000 batch-concat separator (never appears in text)
+
+
+def _mix64(x: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """Vectorized splitmix64 finalizer over uint64 (wraparound is the
+    defined semantics — no undefined overflow, unlike the previous
+    int64 polynomial fold whose key*PACK wrapped before the mod)."""
+    import numpy as np
+
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & M
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & M
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & M
+    return x ^ (x >> np.uint64(31))
+
+
+def _batch_minhash_features(
+    texts, shingle_words: int, char_k: int, n_word_hashes: int, n_char_hashes: int
+):
+    """Pure-numpy batch kernel: (word_sigs, char_sigs) MinHash matrices
+    for a list of texts — NO per-shingle (or per-word, or per-gram)
+    Python. The whole batch is concatenated into one codepoint array
+    (U+0000-separated); word hashes come from a Horner column sweep
+    over token positions, shingle/gram hashes from vectorized Horner
+    chains, and the per-doc MinHash from ``np.minimum.reduceat`` over
+    doc segment offsets.
+
+    MinHash over a multiset equals MinHash over its distinct set (min
+    is idempotent), so no dedup pass is needed.
+
+    Docs that produce zero shingles under a family (fewer than
+    ``shingle_words`` whitespace tokens — the CJK/unsegmented case —
+    or shorter than ``char_k`` chars) get one synthetic whole-text
+    hash so their band keys only collide on identical text; the OTHER
+    family still generates real candidates for them (char k-grams need
+    no whitespace — the ADVICE-flagged CJK recall fix).
+    """
+    import numpy as np
+
+    P = _LSH_P
+    B = _POLY_B
+
+    texts = ["" if t is None else t for t in texts]
+    n_docs = len(texts)
+    joined = "\x00".join(texts) + "\x00"
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sep_pos = np.flatnonzero(cp == _SEP)
+    doc_end = sep_pos  # doc d spans [doc_start[d], doc_end[d])
+    doc_start = np.concatenate(([0], sep_pos[:-1] + 1))
+    doc_of_pos = np.searchsorted(doc_end, np.arange(len(cp)), side="right")
+
+    # ---- family 1: word `shingle_words`-shingles --------------------
+    is_ws = np.isin(cp, _WS_CODEPOINTS) | (cp == _SEP)
+    tok_mask = ~is_ws
+    edge = np.diff(tok_mask.astype(np.int8), prepend=0, append=0)
+    tok_start = np.flatnonzero(edge == 1)
+    tok_len = np.flatnonzero(edge == -1) - tok_start
+    # Horner sweep over character positions (loop bounded by the longest
+    # token, vectorized across all tokens in the batch)
+    wh = np.zeros(len(tok_start), dtype=np.int64)
+    max_len = int(tok_len.max()) if len(tok_len) else 0
+    for j in range(min(max_len, 64)):  # 64-char cap: determinism-only truncation
+        live = tok_len > j
+        wh[live] = (wh[live] * B + cp[tok_start[live] + j]) % P
+    tok_doc = doc_of_pos[tok_start] if len(tok_start) else np.zeros(0, dtype=np.int64)
+    # adjacent-word shingle hash chains (Horner over word hashes)
+    n_tok = len(wh)
+    if n_tok >= shingle_words:
+        sh_h = wh[: n_tok - shingle_words + 1].copy()
+        for j in range(1, shingle_words):
+            sh_h = (sh_h * B + wh[j : n_tok - shingle_words + 1 + j]) % P
+        same_doc = tok_doc[: n_tok - shingle_words + 1] == tok_doc[shingle_words - 1 :]
+        sh_h, sh_doc = sh_h[same_doc], tok_doc[: n_tok - shingle_words + 1][same_doc]
+    else:
+        sh_h = np.zeros(0, dtype=np.int64)
+        sh_doc = np.zeros(0, dtype=np.int64)
+
+    # ---- family 2: char k-grams ------------------------------------
+    n_pos = len(cp) - char_k  # last window always holds the trailing sep
+    if n_pos > 0:
+        ch = cp[:n_pos].copy()
+        for j in range(1, char_k):
+            ch = (ch * B + cp[j : n_pos + j]) % P
+        csum = np.cumsum(cp == _SEP)
+        upper = csum[char_k - 1 : char_k - 1 + n_pos]
+        lower = np.concatenate(([0], csum[: n_pos - 1]))
+        in_doc = (upper - lower) == 0  # no separator inside the window
+        ch, ch_doc = ch[in_doc], doc_of_pos[:n_pos][in_doc]
+    else:
+        ch = np.zeros(0, dtype=np.int64)
+        ch_doc = np.zeros(0, dtype=np.int64)
+
+    # ---- synthetic whole-text hash for empty families ---------------
+    def _whole_text_hash(d: int) -> int:
+        h = 0
+        for c in texts[d][:256]:
+            h = (h * B + ord(c)) % P
+        return h or 1
+
+    def _minhash(hs, hdoc, n_h, salt_a, salt_b):
+        A = np.array([v % (P - 1) + 1 for v in _splitmix64(n_h, salt_a)], dtype=np.int64)
+        Bc = np.array([v % P for v in _splitmix64(n_h, salt_b)], dtype=np.int64)
+        counts = np.bincount(hdoc, minlength=n_docs)
+        missing = np.flatnonzero(counts == 0)
+        if len(missing):
+            hs = np.concatenate([hs, [ _whole_text_hash(int(d)) for d in missing ]])
+            hdoc = np.concatenate([hdoc, missing])
+            order = np.argsort(hdoc, kind="stable")
+            hs, hdoc = hs[order], hdoc[order]
+            counts = np.bincount(hdoc, minlength=n_docs)
+        offsets = np.concatenate(([0], np.cumsum(counts[:-1])))
+        probes = (hs[None, :] * A[:, None] + Bc[:, None]) % P  # (n_h, n_shingles)
+        return np.minimum.reduceat(probes, offsets, axis=1).T  # (n_docs, n_h)
+
+    word_sig = _minhash(sh_h, sh_doc, n_word_hashes, 1, 2)
+    char_sig = _minhash(ch, ch_doc, n_char_hashes, 11, 12)
+    return word_sig, char_sig
+
+
+def _band_keys(sig, bands: int, band_offset: int):
+    """(n_docs, bands) int64 keys: uint64 splitmix chain over each
+    band's signature rows, salted by the global band index so keys from
+    different bands/families never collide by construction."""
+    import numpy as np
+
+    n_docs, n_h = sig.shape
+    rows = n_h // bands
+    sig_u = sig.astype(np.uint64).reshape(n_docs, bands, rows)
+    keys = np.empty((n_docs, bands), dtype=np.uint64)
+    for b in range(bands):
+        k = np.full(n_docs, np.uint64(band_offset + b + 1))
+        for r in range(rows):
+            k = _mix64(k + sig_u[:, b, r])
+        keys[:, b] = k
+    return keys.view(np.int64)
+
+
 def _minhash_kernel(
     docs: DataFrame, id_col: str, text_col: str,
     n_hashes: int, bands: int, shingle_words: int,
+    char_k: int = 7, char_bands: int = 12, char_rows: int = 4,
 ) -> DataFrame:
     """(id, sh, n_sh, bk) via mapInPandas.
 
     * ``sh``: the distinct char-3-gram array — the EXACT verify metric
       (same definition the DuckDB oracle scans).
-    * ``bk``: ``bands`` packed int64 band keys of a MinHash signature
-      over **word ``shingle_words``-shingles**, hashed with crc32 and a
-      splitmix64-derived (a*h+b) mod p family.
+    * ``bk``: band keys from TWO OR-composed MinHash families —
+      ``bands`` keys over **word ``shingle_words``-shingles** plus
+      ``char_bands`` keys over **char ``char_k``-grams**. A pair is a
+      candidate if ANY band key matches; exact verify keeps precision.
 
-    Why word shingles for the candidate stage: on low-entropy corpora
-    char-3-gram sets overlap heavily between unrelated docs (this
-    testdata: median organic 3-gram jaccard 0.46), so banding over the
-    verify metric degenerates toward all-pairs no matter the (b, r)
-    choice. Word-2-shingle similarity keeps the same ordering on
-    edit-derived near-dups (organic max ~0.15 vs planted min ~0.9 here)
-    and gives the S-curve a real gap to cut. The previous family
-    (a_i=2i+1 — probe 0 is the identity) also collapsed to ~7 distinct
-    values per probe; splitmix64 multipliers fix that.
+    Why two families: on low-entropy corpora char-3-gram sets overlap
+    heavily between unrelated docs (this testdata: median organic
+    3-gram jaccard 0.46), so banding over the verify metric degenerates
+    toward all-pairs. Word-2-shingles separate cleanly (organic max
+    ~0.15 vs planted min ~0.9) — but collapse on unsegmented (CJK) text
+    and on dense in-word edits (char-jaccard high, word-sim ~0.5). Char
+    7-grams separate there too (organic mean 0.065 / p99 0.13 at sf0.1
+    vs edit-pair ~0.74+) with a 12x4 S-curve (midpoint 0.54, hit 98.6%
+    at j=0.74), covering both word-family blind spots at a measured
+    ~0.03% organic candidate rate (~4-6k extra pairs over 12.5M at
+    sf0.1 — re-tuned from char-5 whose organic rate was 30x higher on
+    the longer sf0.1 docs). All hashing is batch-level numpy (no per-shingle Python) —
+    see _batch_minhash_features.
     """
-    import numpy as np
     import pandas as pd
-    from zlib import crc32
 
-    P = _LSH_P
-    rows_per_band = n_hashes // bands
-    A = np.array([v % (P - 1) + 1 for v in _splitmix64(n_hashes, 1)], dtype=np.int64)
-    B = np.array([v % P for v in _splitmix64(n_hashes, 2)], dtype=np.int64)
-    # band-key packing: polynomial fold of the band's rows, collisions
-    # only add candidates (exact verify keeps correctness)
-    PACK = np.int64(1_000_003)
-    M61 = np.int64((1 << 61) - 1)
+    assert n_hashes % bands == 0, (n_hashes, bands)
+    n_char_hashes = char_bands * char_rows
+
+    # sub-chunking keeps the probes matrix (n_hashes x total_grams)
+    # inside CPU cache: one monolithic 10k-doc Arrow batch would churn
+    # ~2 GB of int64 temporaries and run ~7x slower than 256-doc chunks
+    CHUNK = 256
 
     def kernel(batches):
+        import numpy as np
+
         for pdf in batches:
-            ids, shs, bks = [], [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                t = t or ""
-                n3 = max(len(t) - 2, 1)
-                grams = list({t[j:j + 3] for j in range(n3)})
-                words = t.split()
-                if len(words) >= shingle_words:
-                    shingles = {
-                        " ".join(words[j:j + shingle_words])
-                        for j in range(len(words) - shingle_words + 1)
-                    }
-                else:
-                    shingles = {t}
-                hs = np.fromiter(
-                    (crc32(s.encode("utf-8")) for s in shingles),
-                    dtype=np.int64, count=len(shingles),
-                ) % P
-                sig = ((hs[None, :] * A[:, None] + B[:, None]) % P).min(axis=1)
-                bands_sig = sig.reshape(bands, rows_per_band)
-                key = np.zeros(bands, dtype=np.int64)
-                for r in range(rows_per_band):
-                    key = (key * PACK + bands_sig[:, r]) % M61
-                ids.append(i)
-                shs.append(grams)
-                bks.append(key.tolist())
-            yield pd.DataFrame({"id": ids, "sh": shs, "bk": bks})
+            for lo in range(0, len(pdf), CHUNK):
+                sub = pdf.iloc[lo:lo + CHUNK]
+                if len(sub) == 0:
+                    continue
+                texts = ["" if t is None else t for t in sub[text_col]]
+                word_sig, char_sig = _batch_minhash_features(
+                    texts, shingle_words, char_k, n_hashes, n_char_hashes
+                )
+                wk = _band_keys(word_sig, bands, 0)
+                ck = _band_keys(char_sig, char_bands, bands)
+                bk = np.concatenate([wk, ck], axis=1)
+                shs = [
+                    list({t[j:j + 3] for j in range(max(len(t) - 2, 1))})
+                    for t in texts
+                ]
+                yield pd.DataFrame({
+                    "id": sub[id_col].to_numpy(),
+                    "sh": shs,
+                    "bk": list(bk),
+                })
 
     out_schema = "id long, sh array<string>, bk array<long>"
     spark = docs.sparkSession
@@ -208,13 +351,17 @@ def minhash_lsh_pairs(
     verification. Output identical shape to jaccard_pairs (pairs with
     char-3-gram jaccard >= threshold).
 
-    Candidate recall is over word-shingle similarity with S-curve
-    midpoint (1/bands)^(1/r): the default 8 bands x 3 rows sits at 0.5
-    — an edit-derived near-dup pair (word-shingle sim >= ~0.8) is
-    missed with probability <= (1-0.8^3)^8 ~ 5e-3, while unrelated
-    pairs (sim <= ~0.15) collide with probability <= 8*(0.15)^3 ~ 2.7%
-    -> the verify stage touches a near-linear candidate set instead of
-    the O(n^2) cross product. At 100 TB the grams for the verify stage
+    Candidates come from the UNION of two OR-composed families (see
+    _minhash_kernel): word-shingle bands (8x3, S-curve midpoint 0.5 —
+    an edit-derived near-dup at word-sim >= ~0.8 is missed w.p.
+    <= (1-0.8^3)^8 ~ 5e-3 while unrelated pairs at <= ~0.15 collide
+    w.p. <= 8*0.15^3 ~ 2.7%) plus char-7-gram bands (12x4, midpoint
+    0.54) that cover the word family's two blind spots: unsegmented
+    (CJK) text, where whitespace tokenization collapses to one shingle,
+    and dense in-word edits, where char-jaccard stays high but word-sim
+    drops to ~0.3-0.5. Either family matching makes a candidate; the exact
+    verify keeps precision at 1, so extra candidates only cost the
+    near-linear verify join. At 100 TB the grams for the verify stage
     would be re-derived per candidate instead of carried through the
     persist; at bench scale carrying them is cheaper.
     """
@@ -307,7 +454,14 @@ def neardup_groups(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("group_id"))
+    # the loop already ran jobs per round; one more tiny job pins the
+    # converged (id, label) table so the final cache can be released
+    # rather than leak for the session
+    out = labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("group_id")
+    ).localCheckpoint()
+    labels.unpersist()
+    return out
 
 
 def simhash_pairs(

@@ -79,6 +79,85 @@ def test_phash_near_dups(spark):
     assert any(rows[0][0] in p and "img_dup_0" in p for p in pairs), pairs
 
 
+def _char_jac(a: str, b: str, k: int) -> float:
+    sa = {a[i:i + k] for i in range(max(len(a) - k + 1, 1))}
+    sb = {b[i:i + k] for i in range(max(len(b) - k + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def _word2_sim(a: str, b: str) -> float:
+    sa = {tuple(a.split()[i:i + 2]) for i in range(len(a.split()) - 1)}
+    sb = {tuple(b.split()[i:i + 2]) for i in range(len(b.split()) - 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_adversarial_inword_edits_lsh_equals_exact(spark):
+    """The word-shingle candidate family is blind to dense IN-WORD
+    edits: such pairs keep char-3-gram jaccard >= threshold while
+    word-2-shingle similarity collapses to ~0.3-0.5 (every edited word
+    kills both shingles containing it). The char-5-gram family must
+    carry recall here — the fixture asserts the gap really exists
+    (char-jac >= 0.85, word-sim <= 0.6) and then requires the LSH
+    output to equal the exact pair set."""
+    rng = np.random.default_rng(42)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+
+    def word():
+        return "".join(rng.choice(list(letters), size=rng.integers(10, 13)))
+
+    base = [" ".join(word() for _ in range(60)) for _ in range(40)]
+    docs, planted = [], []
+    for i, t in enumerate(base):
+        docs.append((i, t))
+    for j in range(8):  # every 5th base doc gets an in-word-edited twin
+        src = base[j * 5]
+        words = src.split()
+        for wi in range(0, len(words), 4):  # edit one char in every 4th word
+            w = list(words[wi])
+            pos = int(rng.integers(1, len(w) - 1))
+            w[pos] = letters[(letters.index(w[pos]) + 1) % 26]
+            words[wi] = "".join(w)
+        twin = " ".join(words)
+        assert _char_jac(src, twin, 3) >= 0.85, _char_jac(src, twin, 3)
+        assert _word2_sim(src, twin) <= 0.6, _word2_sim(src, twin)
+        docs.append((1000 + j, twin))
+        planted.append((j * 5, 1000 + j))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(df, 0.85).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, 0.85).collect()}
+    assert set(planted) <= exact  # the fixture planted threshold-grade pairs
+    assert lsh == exact, (sorted(exact - lsh), sorted(lsh - exact))
+
+
+def test_cjk_unsegmented_neardup_lsh_equals_exact(spark):
+    """On unsegmented CJK text whitespace tokenization collapses the
+    word family to one whole-text shingle, so single-char edits used to
+    drop recall to ~0 (ADVICE r2). The char k-gram family needs no
+    whitespace: planted single/double-char-edited twins must all be
+    found, and the pair set must equal the exact oracle."""
+    rng = np.random.default_rng(7)
+
+    def han(n):
+        return "".join(chr(0x4E00 + int(c)) for c in rng.integers(0, 2000, n))
+
+    base = [han(120) for _ in range(30)]
+    docs = [(i, t) for i, t in enumerate(base)]
+    planted = []
+    for j in range(8):
+        src = list(base[j * 3])
+        for pos in (17, 71)[: 1 + j % 2]:  # 1-2 char edits
+            src[pos] = chr(0x4E00 + (ord(src[pos]) - 0x4E00 + 7) % 2000)
+        twin = "".join(src)
+        assert " " not in twin and _char_jac(base[j * 3], twin, 3) >= 0.85
+        docs.append((2000 + j, twin))
+        planted.append((j * 3, 2000 + j))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(df, 0.85).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, 0.85).collect()}
+    assert set(planted) <= exact
+    assert lsh == exact, (sorted(exact - lsh), sorted(lsh - exact))
+
+
 def test_multi_table_lsh_recall_on_perturbed_dups(spark):
     """Near-but-NOT-identical planted dups (cosine ~0.97-0.99) must all
     be found: this is the case a single AND-composed LSH bucket misses

@@ -28,6 +28,60 @@ def test_doc_fingerprint_kernel_equals_column_math(spark):
     assert c2 == k2
 
 
+def test_batch_minhash_features_equal_per_doc_reference():
+    """The fully-vectorized LSH feature kernel (one codepoint array per
+    batch, Horner column sweeps, minimum.reduceat) must match a
+    straightforward per-doc / per-shingle Python reference — including
+    CJK (no whitespace), empty, and shorter-than-k docs. Driver-side
+    (no Spark): the kernel is pure numpy."""
+    import re
+
+    from fundcrawler_spark.operators.dedup import (
+        _LSH_P as P,
+        _POLY_B as B,
+        _batch_minhash_features,
+        _splitmix64,
+    )
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * B + ord(c)) % P
+        return h
+
+    def word_shingles(t, w=2):
+        toks = [x for x in re.split(r"[ \t\n\r\x0b\x0c]+", t) if x]
+        hs = [poly(x[:64]) for x in toks]
+        out = []
+        for i in range(len(hs) - w + 1):
+            h = hs[i]
+            for j in range(1, w):
+                h = (h * B + hs[i + j]) % P
+            out.append(h)
+        return out
+
+    def whole(t):
+        return poly(t[:256]) or 1
+
+    def ref_minhash(hs, n_h, sa, sb, t):
+        A = [v % (P - 1) + 1 for v in _splitmix64(n_h, sa)]
+        Bc = [v % P for v in _splitmix64(n_h, sb)]
+        if not hs:
+            hs = [whole(t)]
+        return [min((a * h + b) % P for h in hs) for a, b in zip(A, Bc)]
+
+    texts = [
+        "the quick brown fox jumps", "the quick brown fox jumped",
+        "单一的中文文本没有空格分词测试", "", "ab", "x " * 40, "word",
+        "tabs\tand\nnewlines here ok", "longword" * 20,
+    ]
+    ws, cs = _batch_minhash_features(texts, 2, 5, 24, 32)
+    for d, t in enumerate(texts):
+        grams = [poly(t[j:j + 5]) for j in range(len(t) - 4)]
+        assert list(ws[d]) == ref_minhash(word_shingles(t), 24, 1, 2, t), d
+        assert list(cs[d]) == ref_minhash(grams, 32, 11, 12, t), d
+
+
 def test_minhash_signature_kernel_equals_column_math(spark):
     from fundcrawler_spark.operators.textstats import (
         minhash_signature,
