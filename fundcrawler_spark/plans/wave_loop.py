@@ -17,7 +17,11 @@ Each wave is one Spark job chain:
 Scale properties: the frontier never shuffles for the anti-join
 (admitted side is budget-bounded -> broadcast); seen-set maintenance
 touches one blob per shard per wave; the only global sort is over the
-admitted set (<= hosts x max_budget rows) for the crawl-order contract.
+admitted set (<= hosts x max_budget rows) for the crawl-order contract;
+per-host frontier counts are maintained incrementally on the driver
+(one full groupBy at loop entry, bounded deltas per wave), so the
+steady-state wave never scans the full frontier for bookkeeping — the
+admission rank reads only the slim scheduling columns.
 """
 
 from __future__ import annotations
@@ -59,6 +63,9 @@ class CrawlConfig:
     shard_capacity: int = 1_000_000
     robots_by_host: dict = field(default_factory=dict)
     agent: str = "fundcrawler"
+    # debug cross-check: re-derive the incremental per-host frontier
+    # counts with a full groupBy each wave and assert they agree
+    verify_host_counts: bool = False
 
 
 class Crawler:
@@ -235,15 +242,34 @@ class Crawler:
                 d.unpersist()
             pending_persisted.clear()
 
-        while wave < cfg.max_waves:
-            t_wave0 = time.time()
-            frontier.persist()
-            # one driver job yields both the frontier size and the host
-            # set (hosts_seen drives the per-wave AIMD budget tick)
-            host_counts = {
+        # Per-host frontier counts are maintained INCREMENTALLY on the
+        # driver: one full groupBy at loop entry (fresh or resumed),
+        # then per wave only bounded deltas — admitted (from the fetch
+        # counts already collected), requeued failures (same agg), and
+        # discovered links (a groupBy over the wave-bounded discovery
+        # set). At the 10^10-frontier design point this removes an
+        # O(frontier) scan per wave; cfg.verify_host_counts re-enables
+        # the full scan as a cross-check (used by the golden tests).
+        host_counts: dict[str, int] | None = None
+
+        def full_host_counts() -> dict[str, int]:
+            return {
                 r["host"]: r["count"]
                 for r in frontier.groupBy("host").count().collect()
             }
+
+        while wave < cfg.max_waves:
+            t_wave0 = time.time()
+            frontier.persist()
+            if host_counts is None:
+                host_counts = full_host_counts()
+            elif cfg.verify_host_counts:
+                actual = full_host_counts()
+                assert actual == host_counts, {
+                    h: (host_counts.get(h), actual.get(h))
+                    for h in set(actual) | set(host_counts)
+                    if actual.get(h) != host_counts.get(h)
+                }
             n_frontier = sum(host_counts.values())
             if n_frontier == 0:
                 frontier.unpersist()
@@ -266,15 +292,23 @@ class Crawler:
                                 wave=wave, discover=cfg.discover)
             fetched = with_fetch_order(fetched, admitted, order_offset)
             fetched.persist()
-            counts = {
-                r["host"]: (r["s"], r["f"])
+            # one collect yields the AIMD observation (s, f) AND the
+            # frontier-count deltas: admitted = s + f rows leave, rq
+            # (= fails still under the retry cap) re-enter
+            requeue_ok = F.col("state") == "FALSE"
+            if cfg.max_retries is not None:
+                requeue_ok = requeue_ok & (F.col("retry_count") < cfg.max_retries)
+            wave_agg = {
+                r["host"]: (r["s"], r["f"], r["rq"])
                 for r in fetched.groupBy("host")
                 .agg(
                     F.count_if(F.col("state") == "SUCCESS").alias("s"),
                     F.count_if(F.col("state") == "FALSE").alias("f"),
+                    F.count_if(requeue_ok).alias("rq"),
                 )
                 .collect()
             }
+            counts = {h: (s, f) for h, (s, f, _) in wave_agg.items()}
             n_admitted = sum(s + f for s, f in counts.values())
             # both stay cached until the buffered appends flush — the
             # pending pages/metrics plans read from these cached blocks
@@ -325,6 +359,13 @@ class Crawler:
                 frontier_next = frontier_ops.requeue_failures(
                     rest, fetched, wave + 1, cfg.max_retries
                 )
+                # incremental frontier counts: -admitted +requeued
+                for h, (s, f, rq) in wave_agg.items():
+                    nxt = host_counts.get(h, 0) - (s + f) + rq
+                    if nxt > 0:
+                        host_counts[h] = nxt
+                    else:
+                        host_counts.pop(h, None)
 
                 # seen-set maintenance
                 if cfg.insert_on == "admission":
@@ -360,6 +401,14 @@ class Crawler:
                     )
                     disc = disc.join(frontier_next.select("url_hash"), "url_hash", "left_anti")
                     disc = self.seen.probe(shards, disc).filter(~F.col("seen")).drop("seen")
+                    # the discovery set is wave-bounded (admitted x links
+                    # per page), so counting it is NOT an O(frontier)
+                    # scan; cached so the count and the union share one
+                    # computation, released at the next durable ckpt
+                    disc = disc.persist()
+                    for r in disc.groupBy("host").count().collect():
+                        host_counts[r["host"]] = host_counts.get(r["host"], 0) + r["count"]
+                    pending_persisted.append(disc)
                     frontier_next = frontier_next.unionByName(disc)
             else:
                 frontier_next = frontier

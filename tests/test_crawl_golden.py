@@ -19,7 +19,10 @@ from fundcrawler_spark.schemas import SEEDS_SCHEMA
 def crawl_pair(spark):
     seeds = spark.createDataFrame(fx.seed_rows(10), SEEDS_SCHEMA)
     wd = tempfile.mkdtemp(prefix="golden_")
-    cfg = CrawlConfig(fail_rate=0.1, max_fail_attempts=1, max_waves=30, n_shards=8)
+    # verify_host_counts: every wave cross-checks the driver's
+    # incremental per-host frontier counts against a full groupBy
+    cfg = CrawlConfig(fail_rate=0.1, max_fail_attempts=1, max_waves=30, n_shards=8,
+                      verify_host_counts=True)
     c = Crawler(spark, wd, cfg)
     stats = c.run(seeds=seeds, log=lambda *a: None)
     rows = [r.asDict() for r in seeds_to_frontier(seeds).collect()]

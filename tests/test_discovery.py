@@ -34,7 +34,7 @@ def test_discovery_exactly_once_and_golden(spark):
     try:
         cfg = CrawlConfig(
             fail_rate=0.04, max_fail_attempts=1, max_waves=60, n_shards=8,
-            discover=True,
+            discover=True, verify_host_counts=True,
         )
         c = Crawler(spark, wd, cfg)
         stats = c.run(seeds=seeds, log=lambda *a: None)
