@@ -252,16 +252,69 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     for r in brute_force_topk(emb, q, k=5).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     approx = {}
-    out = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
+    out = ivf_topk(emb, q, k=5).collect()  # defaults: 16c, probe 4, assign 3
     for r in out:
         assert r["neighbor_id"] != r["query_id"]
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(len(exact[qi] & approx.get(qi, set())) for qi in exact)
     total = sum(len(v) for v in exact.values())
-    assert hits / total >= 0.6, (hits, total, approx)
+    assert hits / total >= 0.9, (hits, total, approx)
     # ranks contiguous per query
     by_q = {}
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_recall_curve_monotone_in_n_probe(spark):
+    """Recall@5 vs brute force must rise monotonically with n_probe (the
+    IVF cost/recall contract) and clear documented floors at 16
+    centroids / corpus_assign=1 on the deliberately IVF-adversarial
+    testdata embeddings (unit-norm noise: true neighbors sit at cosine
+    ~0.4-0.5, near cell boundaries). Everything is deterministic
+    (splitmix-seeded k-means on an id-ordered sample), so exact floors
+    are stable."""
+    from fundcrawler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in exact.values())
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        approx = {}
+        for r in ivf_topk(emb, q, k=5, n_centroids=16, n_probe=n_probe,
+                          corpus_assign=1).collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls.append(
+            sum(len(exact[qi] & approx.get(qi, set())) for qi in exact) / total
+        )
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[2] >= 0.6 and recalls[3] >= 0.85, recalls
+
+
+def test_lsh_topk_recall_on_perturbed_queries(spark):
+    """Query-side recall at the threshold regime: each query is a
+    perturbed corpus vector (cosine ~0.97-0.99 to its source, far above
+    the organic max ~0.52), so the source is its true rank-1 neighbor.
+    The OR-composed multi-table LSH must surface every source at rank 1
+    — the single-AND-bucket design this replaced coin-flipped here."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    rng = np.random.default_rng(13)
+    base = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    queries = []
+    for vid, vec in base[::7]:
+        v = np.array(vec)
+        w = v + rng.normal(0, 0.02, size=len(v))
+        assert float(np.dot(v, w) / (np.linalg.norm(v) * np.linalg.norm(w))) >= 0.95
+        queries.append((vid + 50000, [float(x) for x in w]))
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in lsh_topk(corpus, qdf, k=3).collect()}
+    for vid, _ in base[::7]:
+        assert got.get((vid + 50000, 1)) == vid, (vid, got.get((vid + 50000, 1)))
