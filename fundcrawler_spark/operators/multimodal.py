@@ -65,7 +65,15 @@ def enrich_images(df: DataFrame) -> DataFrame:
             o["phash"] = o["phash"].astype("Int64")
             yield o
 
-    return df.select(*in_cols).mapInPandas(kernel, IMAGES_SCHEMA)
+    # explicit repartition: AQE coalesces by byte size, but this stage's
+    # cost is python decode+phash per row — a wave-sized batch would
+    # collapse to 1-2 partitions and run serially otherwise
+    spark = df.sparkSession
+    return (
+        df.select(*in_cols)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, IMAGES_SCHEMA)
+    )
 
 
 def phash_hamming(col_a, col_b):

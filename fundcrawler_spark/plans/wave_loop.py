@@ -215,12 +215,46 @@ class Crawler:
         pending_logs: list[DataFrame] = []
         pending_persisted: list[DataFrame] = []
 
+        def finalize_increment(new_pages: DataFrame) -> None:
+            """Per-checkpoint-interval finalize: assemble ONLY the seeds
+            touched by this interval's pages and append their results;
+            enrich ONLY the new page rows into the images table. A seed
+            completes exactly once (each (seed, page_type) URL is
+            fetched once), so a touched seed passing the 4-page barrier
+            now must have received its 4th page in this interval —
+            append-exactly-once holds without any driver bookkeeping.
+            Replaces the old end-of-run full recompute, which re-parsed
+            every page of the whole crawl; the remaining per-interval
+            cost is one pages-table scan for the broadcast semi-join
+            (at 100 TB the table would be bucketed by seed_index so
+            that scan prunes to the touched buckets).
+            Snapshot alignment: runs inside flush_appends, i.e. BEFORE
+            _write_checkpoint records results/images snapshot ids, so
+            resume rolls all four tables back to the same boundary."""
+            from ..operators.multimodal import enrich_images
+            from ..operators.politeness import with_page_ordinal
+
+            touched = new_pages.select("seed_index").distinct()
+            pages_all = self.pages.read(spark)
+            mine = pages_all.join(F.broadcast(touched), "seed_index")
+            results_new = assemble_results(
+                mine.select("seed_index", "page_type", "body"), seeds
+            )
+            self.results.append(results_new)
+            raw = with_page_ordinal(new_pages).select(
+                F.concat_ws("_", F.lit("img"), "seed_index", "page_ordinal").alias("image_id"),
+                F.col("image_bytes").alias("bytes"),
+                "caption",
+            )
+            self.images.append(enrich_images(raw))
+
         def flush_appends() -> None:
             if pending_pages:
                 df = pending_pages[0]
                 for d in pending_pages[1:]:
                     df = df.unionByName(d)
                 self.pages.append(df)
+                finalize_increment(df)
                 pending_pages.clear()
             if pending_logs:
                 df = pending_logs[0]
@@ -447,24 +481,11 @@ class Crawler:
             self._write_checkpoint(wave - 1, frontier, shards, budgets, order_offset)
         release_caches()
 
-        # ---- finalize: barrier-join assembly over all fetched pages
-        pages = self.pages.read(spark)
+        # ---- finalize: results/images were assembled INCREMENTALLY at
+        # each checkpoint interval (finalize_increment above) — no
+        # end-of-run full recompute over the whole pages table
         stats = {"waves": wave, "pages_fetched": order_offset}
-        if pages is not None and seeds is not None:
-            results = assemble_results(
-                pages.select("seed_index", "page_type", "body"), seeds
-            )
-            self.results.overwrite(results)
-            # image+caption payload table (input_hint schema), enriched
-            # with decode metadata + phash by the mapInPandas kernel
-            from ..operators.multimodal import enrich_images
-            from ..operators.politeness import with_page_ordinal
-
-            raw = with_page_ordinal(pages).select(
-                F.concat_ws("_", F.lit("img"), "seed_index", "page_ordinal").alias("image_id"),
-                F.col("image_bytes").alias("bytes"),
-                "caption",
-            )
-            self.images.overwrite(enrich_images(raw))
+        results = self.results.read(spark)
+        if results is not None:
             stats["results"] = results.count()
         return stats

@@ -106,6 +106,22 @@ def test_resume_with_batched_appends(spark):
         l1 = sorted(map(lkey, c1.fetch_log.read(spark).collect()))
         l2 = sorted(map(lkey, c2.fetch_log.read(spark).collect()))
         assert l1 == l2
+        # incremental finalize (per-checkpoint-interval appends across
+        # multiple intervals + a resume boundary) must equal a full
+        # end-of-run recompute over the pages table — exactly once per
+        # seed, no misses, identical parse output
+        from fundcrawler_spark.operators.assemble import assemble_results
+
+        seeds_back = spark.read.parquet(f"{wd2}/seeds.parquet")
+        full = sorted(map(tuple, assemble_results(
+            c2.pages.read(spark).select("seed_index", "page_type", "body"),
+            seeds_back).collect()))
+        incr = sorted(map(tuple, c2.results.read(spark).collect()))
+        assert incr == full
+        # images: one enriched row per fetched page, unique ids
+        img = c2.images.read(spark)
+        assert img.count() == c2.pages.read(spark).count()
+        assert img.select("image_id").distinct().count() == img.count()
     finally:
         shutil.rmtree(wd1)
         shutil.rmtree(wd2)
