@@ -173,12 +173,20 @@ local[{n4}]; the politeness-bound single-host crawl in bench.py is the
 apples-to-apples number and is AIMD-budget-limited by design, exactly
 like the reference.
 """
-    # preserve manually-maintained sections (single-node throughput,
-    # reference-scale replay) appended after the generated part
+    # preserve manually-maintained sections: the cross-session
+    # replication narrative (re-inserted before the shuffle plane) and
+    # everything from single-node throughput onward
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     manual_marker = "## Single-node throughput"
+    repl_marker = "### Replication across measurement sessions"
     if os.path.exists(out_path):
         old = open(out_path).read()
+        if repl_marker in old:
+            tail = old[old.index(repl_marker):]
+            end = tail.index("\n## ")
+            md = md.replace(
+                "## Shuffle plane", tail[:end].rstrip() + "\n\n## Shuffle plane"
+            )
         if manual_marker in old:
             md = md + "\n" + old[old.index(manual_marker):]
     with open(out_path, "w") as f:
