@@ -151,6 +151,30 @@ def with_page_ordinal(df: DataFrame) -> DataFrame:
     return df.withColumn("page_ordinal", m.otherwise(expr).cast("int"))
 
 
+def top_slice_keys(frontier: DataFrame, slice_k: int,
+                   approx_rows: int | None = None) -> DataFrame:
+    """url_hash keys of each host's top ``slice_k`` frontier rows under
+    the admission total order — the ACTIVE-SLICE selector for the wave
+    loop's split frontier. Only the slim scheduling columns enter the
+    rank shuffle; the slice is bounded (hosts x slice_k), so the caller
+    can broadcast the keys back onto the wide rows."""
+    slim = with_page_ordinal(
+        frontier.select("host", "retry_count", "priority", "seed_index",
+                        "page_type", "url_hash")
+    ).drop("page_type")
+    small = approx_rows is not None and approx_rows <= 250_000
+    ranked = grouped_topk(
+        slim,
+        ["host"],
+        admission_order(),
+        max(slice_k, 1),
+        rank_col="slice_rank",
+        salt_cols=["seed_index", "page_ordinal", "retry_count"],
+        salted=not small,
+    )
+    return ranked.select("url_hash")
+
+
 def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int,
           approx_rows: int | None = None) -> DataFrame:
     """Rank candidates per host, keep rank <= that host's budget.

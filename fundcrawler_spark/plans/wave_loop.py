@@ -14,14 +14,17 @@ Each wave is one Spark job chain:
     pages   += successes; fetch_log += metrics     (IcebergLite append)
     checkpoint(frontier, seen, budgets, snapshots) (exact resume)
 
-Scale properties: the frontier never shuffles for the anti-join
-(admitted side is budget-bounded -> broadcast); seen-set maintenance
-touches one blob per shard per wave; the only global sort is over the
-admitted set (<= hosts x max_budget rows) for the crawl-order contract;
-per-host frontier counts are maintained incrementally on the driver
-(one full groupBy at loop entry, bounded deltas per wave), so the
-steady-state wave never scans the full frontier for bookkeeping — the
-admission rank reads only the slim scheduling columns.
+Scale properties: the frontier is split into a small ACTIVE slice
+(each host's top active_slice_waves x max_budget rows under the
+admission order) and a static BACKLOG that steady-state waves never
+read — admission ranks, anti-joins, and requeues touch only the active
+slice, and the backlog is scanned only at refills (when a host's
+remaining original slice could dip below max_budget) and at durable
+checkpoints. Per-host frontier counts are maintained incrementally on
+the driver (bounded deltas per wave). The admitted side of every join
+is budget-bounded -> broadcast; seen-set maintenance touches one blob
+per shard per wave; the only global sort is over the admitted set
+(<= hosts x max_budget rows) for the crawl-order contract.
 """
 
 from __future__ import annotations
@@ -66,6 +69,12 @@ class CrawlConfig:
     # debug cross-check: re-derive the incremental per-host frontier
     # counts with a full groupBy each wave and assert they agree
     verify_host_counts: bool = False
+    # active-slice sizing: the wave loop holds each host's top
+    # (active_slice_waves x max_budget) frontier rows in a small ACTIVE
+    # set and leaves the rest in a static BACKLOG it only reads at
+    # refill time / durable checkpoints — steady-state waves are
+    # O(active), not O(frontier). 0 disables the split (active = all).
+    active_slice_waves: int = 8
 
 
 class Crawler:
@@ -276,50 +285,162 @@ class Crawler:
                 d.unpersist()
             pending_persisted.clear()
 
-        # Per-host frontier counts are maintained INCREMENTALLY on the
-        # driver: one full groupBy at loop entry (fresh or resumed),
-        # then per wave only bounded deltas — admitted (from the fetch
-        # counts already collected), requeued failures (same agg), and
-        # discovered links (a groupBy over the wave-bounded discovery
-        # set). At the 10^10-frontier design point this removes an
-        # O(frontier) scan per wave; cfg.verify_host_counts re-enables
-        # the full scan as a cross-check (used by the golden tests).
-        host_counts: dict[str, int] | None = None
+        # ---- split frontier: ACTIVE slice + static BACKLOG -----------
+        # Admission only ever needs each host's top-`budget` rows, so
+        # the frontier is held as a small ACTIVE set (per-host top
+        # slice_k rows under the admission total order) plus a BACKLOG
+        # the steady-state wave never touches. Requeues and discoveries
+        # enter ACTIVE directly (retry-first rows outrank everything;
+        # discoveries must be rank-eligible immediately); the backlog
+        # is read only when a host refills — i.e. when the conservative
+        # lower bound on its remaining ORIGINAL slice drops below
+        # max_budget, at which point rows ranked below the whole
+        # remaining slice could otherwise be needed — and at durable
+        # checkpoints, whose frontier parquet is the backlog+active
+        # union (checkpoint format and resume are unchanged).
+        # Correctness of admitting from ACTIVE only: every backlog row
+        # ranks below every original-slice row of its host (the slice
+        # was the exact top-K and per-row order keys are static), so as
+        # long as >= budget original rows remain, the per-wave winner
+        # set over ACTIVE equals the winner set over the full frontier.
+        # Discovery mode keeps the degenerate split (active =
+        # everything): a discovered URL may duplicate a backlog row,
+        # and exact dedup against the backlog would need the
+        # seen-probe-at-refill extension (future work).
+        # Per-host counts are maintained INCREMENTALLY on the driver —
+        # bounded deltas per wave; cfg.verify_host_counts re-derives
+        # them with a full groupBy as a cross-check (golden tests).
+        slice_k = max(cfg.active_slice_waves, 1) * max(cfg.max_budget, 1)
+        split_enabled = cfg.active_slice_waves > 0 and not cfg.discover
 
-        def full_host_counts() -> dict[str, int]:
-            return {
+        from ..operators.politeness import top_slice_keys
+
+        def admittable(df: DataFrame) -> DataFrame:
+            if cfg.robots_by_host:
+                return robots_filter(df, cfg.robots_by_host, cfg.agent)
+            return df
+
+        active: DataFrame = frontier
+        backlog: DataFrame | None = None
+        active_counts: dict[str, int] = {}
+        backlog_total: dict[str, int] = {}
+        backlog_admittable: dict[str, int] = {}
+        orig_rem_lb: dict[str, int] = {}
+
+        def split_frontier(src: DataFrame, total: dict[str, int] | None = None) -> None:
+            nonlocal active, backlog, active_counts, backlog_total
+            nonlocal backlog_admittable, orig_rem_lb
+            if total is None:
+                total = {
+                    r["host"]: r["count"]
+                    for r in src.groupBy("host").count().collect()
+                }
+            if not split_enabled:
+                active, backlog = src, None
+                active_counts = dict(total)
+                backlog_total, backlog_admittable = {}, {}
+                orig_rem_lb = dict(total)
+                return
+            keys = top_slice_keys(
+                admittable(src), slice_k, approx_rows=sum(total.values())
+            ).localCheckpoint()
+            active = src.join(F.broadcast(keys), "url_hash").localCheckpoint()
+            backlog = src.join(F.broadcast(keys), "url_hash", "left_anti")
+            active_counts = {
                 r["host"]: r["count"]
-                for r in frontier.groupBy("host").count().collect()
+                for r in active.groupBy("host").count().collect()
             }
+            backlog_total = {
+                h: c - active_counts.get(h, 0)
+                for h, c in total.items()
+                if c - active_counts.get(h, 0) > 0
+            }
+            if cfg.robots_by_host and backlog_total:
+                backlog_admittable = {
+                    r["host"]: r["count"]
+                    for r in admittable(backlog).groupBy("host").count().collect()
+                }
+            else:
+                backlog_admittable = dict(backlog_total)
+            orig_rem_lb = dict(active_counts)
+
+        def refill(hosts: list[str]) -> None:
+            nonlocal active, backlog
+            sub = backlog.filter(F.col("host").isin(hosts))
+            approx = sum(backlog_admittable.get(h, 0) for h in hosts)
+            keys = top_slice_keys(
+                admittable(sub), slice_k, approx_rows=approx
+            ).localCheckpoint()
+            moved = backlog.join(F.broadcast(keys), "url_hash").localCheckpoint()
+            # amortized: one backlog rewrite per ~active_slice_waves
+            # waves, instead of an O(frontier) rank every wave
+            backlog = backlog.join(
+                F.broadcast(keys), "url_hash", "left_anti"
+            ).localCheckpoint()
+            for r in moved.groupBy("host").count().collect():
+                h, c = r["host"], r["count"]
+                active_counts[h] = active_counts.get(h, 0) + c
+                orig_rem_lb[h] = orig_rem_lb.get(h, 0) + c
+                for d in (backlog_total, backlog_admittable):
+                    left = d.get(h, 0) - c
+                    if left > 0:
+                        d[h] = left
+                    else:
+                        d.pop(h, None)
+            active = active.unionByName(moved)
+
+        def frontier_union() -> DataFrame:
+            return active if backlog is None else backlog.unionByName(active)
+
+        frontier = frontier.persist()
+        pending_persisted.append(frontier)
+        split_frontier(frontier)
 
         while wave < cfg.max_waves:
             t_wave0 = time.time()
-            frontier.persist()
-            if host_counts is None:
-                host_counts = full_host_counts()
-            elif cfg.verify_host_counts:
-                actual = full_host_counts()
-                assert actual == host_counts, {
-                    h: (host_counts.get(h), actual.get(h))
-                    for h in set(actual) | set(host_counts)
-                    if actual.get(h) != host_counts.get(h)
+            if cfg.verify_host_counts:
+                actual = {
+                    r["host"]: r["count"]
+                    for r in frontier_union().groupBy("host").count().collect()
                 }
-            n_frontier = sum(host_counts.values())
+                tracked = {
+                    h: active_counts.get(h, 0) + backlog_total.get(h, 0)
+                    for h in set(active_counts) | set(backlog_total)
+                    if active_counts.get(h, 0) + backlog_total.get(h, 0) > 0
+                }
+                assert actual == tracked, {
+                    h: (tracked.get(h), actual.get(h))
+                    for h in set(actual) | set(tracked)
+                    if actual.get(h) != tracked.get(h)
+                }
+            n_frontier = sum(active_counts.values()) + sum(backlog_total.values())
             if n_frontier == 0:
-                frontier.unpersist()
                 break
-            hosts_seen = set(host_counts)
+            if split_enabled:
+                need = [
+                    h for h in list(backlog_admittable)
+                    if backlog_admittable.get(h, 0) > 0
+                    and orig_rem_lb.get(h, 0) < cfg.max_budget
+                ]
+                if need:
+                    refill(need)
+            hosts_seen = {
+                h
+                for h in set(active_counts) | set(backlog_total)
+                if active_counts.get(h, 0) + backlog_total.get(h, 0) > 0
+            }
             wave_budgets = {h: budgets.budget_for(h) for h in hosts_seen}
             # robots Crawl-delay caps admission per wave (politeness.py)
             for h, cap in robots_caps.items():
                 if h in wave_budgets and cap is not None:
                     wave_budgets[h] = min(wave_budgets[h], cap)
 
-            cand = frontier
-            if cfg.robots_by_host:
-                cand = robots_filter(cand, cfg.robots_by_host, cfg.agent)
+            # per-wave candidate set = ACTIVE only (robots-checked here
+            # so late-added rows — requeues, discoveries — get the same
+            # filter the old full-frontier path applied every wave)
+            cand = admittable(active)
             admitted = admit(cand, wave_budgets, cfg.max_budget,
-                             approx_rows=n_frontier)
+                             approx_rows=sum(active_counts.values()))
             admitted.persist()
 
             fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts,
@@ -388,18 +509,19 @@ class Crawler:
                 )
                 pending_logs.append(metrics)
 
-                # frontier update
-                rest = frontier_ops.remove_admitted(frontier, admitted)
-                frontier_next = frontier_ops.requeue_failures(
+                # frontier update touches ONLY the active slice
+                rest = frontier_ops.remove_admitted(active, admitted)
+                active_next = frontier_ops.requeue_failures(
                     rest, fetched, wave + 1, cfg.max_retries
                 )
-                # incremental frontier counts: -admitted +requeued
+                # incremental counts: -admitted +requeued, all active-side
                 for h, (s, f, rq) in wave_agg.items():
-                    nxt = host_counts.get(h, 0) - (s + f) + rq
+                    nxt = active_counts.get(h, 0) - (s + f) + rq
                     if nxt > 0:
-                        host_counts[h] = nxt
+                        active_counts[h] = nxt
                     else:
-                        host_counts.pop(h, None)
+                        active_counts.pop(h, None)
+                    orig_rem_lb[h] = max(orig_rem_lb.get(h, 0) - (s + f), 0)
 
                 # seen-set maintenance
                 if cfg.insert_on == "admission":
@@ -433,7 +555,10 @@ class Crawler:
                             "page_type", "seed_index", "retry_count", "priority", "wave",
                         )
                     )
-                    disc = disc.join(frontier_next.select("url_hash"), "url_hash", "left_anti")
+                    # split is degenerate in discover mode (backlog is
+                    # None), so the active anti-join IS the full pending
+                    # frontier dedup
+                    disc = disc.join(active_next.select("url_hash"), "url_hash", "left_anti")
                     disc = self.seen.probe(shards, disc).filter(~F.col("seen")).drop("seen")
                     # the discovery set is wave-bounded (admitted x links
                     # per page), so counting it is NOT an O(frontier)
@@ -441,11 +566,11 @@ class Crawler:
                     # computation, released at the next durable ckpt
                     disc = disc.persist()
                     for r in disc.groupBy("host").count().collect():
-                        host_counts[r["host"]] = host_counts.get(r["host"], 0) + r["count"]
+                        active_counts[r["host"]] = active_counts.get(r["host"], 0) + r["count"]
                     pending_persisted.append(disc)
-                    frontier_next = frontier_next.unionByName(disc)
+                    active_next = active_next.unionByName(disc)
             else:
-                frontier_next = frontier
+                active_next = active
 
             # durable checkpoint every cfg.checkpoint_every waves (and on
             # the final wave, detected next iteration); in between, a
@@ -454,31 +579,47 @@ class Crawler:
             if wave % cfg.checkpoint_every == cfg.checkpoint_every - 1:
                 # table commits align with durable checkpoints: flush the
                 # buffered appends FIRST so the checkpoint's snapshot ids
-                # capture exactly waves <= this one
+                # capture exactly waves <= this one. The checkpoint
+                # frontier is the backlog+active union (same schema and
+                # format as ever — resume is unchanged); the reloaded
+                # parquet is then re-split, which doubles as a full
+                # refill at checkpoint cadence.
                 flush_appends()
-                frontier_next = frontier_next.repartition(cfg.n_salts, "url_hash")
-                self._write_checkpoint(wave, frontier_next, shards, budgets, order_offset)
+                full = (
+                    active_next if backlog is None
+                    else backlog.unionByName(active_next)
+                ).repartition(cfg.n_salts, "url_hash")
+                self._write_checkpoint(wave, full, shards, budgets, order_offset)
                 d = self._ckpt_dir(wave)
-                frontier.unpersist()
-                frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
+                src = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
                 shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
                 release_caches()
+                src = src.persist()
+                pending_persisted.append(src)
+                merged = {
+                    h: active_counts.get(h, 0) + backlog_total.get(h, 0)
+                    for h in set(active_counts) | set(backlog_total)
+                    if active_counts.get(h, 0) + backlog_total.get(h, 0) > 0
+                }
+                split_frontier(src, total=merged)
             else:
-                frontier_new = frontier_next.repartition(cfg.n_salts, "url_hash").localCheckpoint()
+                active = active_next.repartition(cfg.n_salts, "url_hash").localCheckpoint()
                 # lazy checkpoint: truncates the cogroup lineage but
                 # defers materialization to the next job that reads the
                 # shards (next wave's insert / the durable write) — one
                 # fewer eager job per wave, same bytes
                 shards = shards.localCheckpoint(eager=False)
-                frontier.unpersist()
-                frontier = frontier_new
             log(f"[crawl] wave={wave} frontier={n_frontier} admitted={n_admitted}")
             wave += 1
 
         # final durable checkpoint so the last state is always resumable
         flush_appends()
         if wave > 0 and self.latest_checkpoint() != wave - 1:
-            self._write_checkpoint(wave - 1, frontier, shards, budgets, order_offset)
+            self._write_checkpoint(
+                wave - 1,
+                frontier_union().repartition(cfg.n_salts, "url_hash"),
+                shards, budgets, order_offset,
+            )
         release_caches()
 
         # ---- finalize: results/images were assembled INCREMENTALLY at

@@ -58,6 +58,37 @@ def test_seen_bloom_blobs_bit_for_bit(crawl_pair):
         assert eng[sid] == blob, f"shard {sid} diverged"
 
 
+def test_split_frontier_with_forced_refills_matches_simulator(spark):
+    """The active/backlog split must be admission-invisible: with
+    active_slice_waves=1 (slice = one wave's max budget, forcing a
+    refill on essentially every wave) and failures in play, the crawl
+    order, wave count, and final seen set must still match the
+    reference-semantics simulator bit-for-bit, and the incremental
+    count cross-check runs every wave."""
+    seeds = spark.createDataFrame(fx.seed_rows(120), SEEDS_SCHEMA)
+    cfg = CrawlConfig(fail_rate=0.07, max_fail_attempts=1, max_waves=40,
+                      n_shards=8, max_budget=40, active_slice_waves=1,
+                      checkpoint_every=3, verify_host_counts=True)
+    wd = tempfile.mkdtemp(prefix="split_")
+    try:
+        c = Crawler(spark, wd, cfg)
+        stats = c.run(seeds=seeds, log=lambda *a: None)
+        rows = [r.asDict() for r in seeds_to_frontier(seeds).collect()]
+        sim = simulate(rows, fail_rate=0.07, max_fail_attempts=1,
+                       max_waves=40, max_budget=40, n_shards=8)
+        assert stats["pages_fetched"] == len(sim["order"])
+        assert stats["waves"] == sim["waves"]
+        pages = c.pages.read(spark)
+        eng = {r["url_hash"]: (r["fetch_order"], r["wave"]) for r in pages.collect()}
+        sim_last = {}
+        for o, h, w in sim["order"]:
+            sim_last[h] = (o, w)
+        assert eng == {h: sim_last[h] for h in eng}
+        assert set(eng) == sim["seen"]
+    finally:
+        shutil.rmtree(wd)
+
+
 def test_fetch_log_lineage_written(crawl_pair):
     spark, c, stats, sim, wd = crawl_pair
     log = c.fetch_log.read(spark)
