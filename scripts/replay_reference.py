@@ -29,6 +29,9 @@ def main() -> None:
     from fundcrawler_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # a 412-wave replay accumulates checkpoint reads + shard blobs well
+    # past the 8g default heap; size it like the scaling harness does
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(app_name="replay", cores=cpus, shuffle_partitions=cpus)
     seeds = spark.createDataFrame(fx.seed_rows(N_FUNDS), SEEDS_SCHEMA)
     wd = tempfile.mkdtemp(prefix="replay_")
