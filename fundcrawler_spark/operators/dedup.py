@@ -112,16 +112,11 @@ _LSH_P = 2147483647
 
 
 def _splitmix64(n: int, salt: int = 0) -> list[int]:
-    """Deterministic pseudo-random 64-bit stream (splitmix64) — fixed
-    constants, no RNG-library version dependence."""
-    out, x = [], (salt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    for _ in range(n):
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        z = x
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        out.append(z ^ (z >> 31))
-    return out
+    """Deterministic pseudo-random 64-bit stream — the shared splitmix64
+    (functions/hashing.py, single definition for all kernels)."""
+    from ..functions.hashing import splitmix64_stream
+
+    return splitmix64_stream(n, salt)
 
 
 _POLY_B = 131  # Horner base for word/gram hashing (arrays stay int64)
@@ -130,16 +125,12 @@ _SEP = 0  # U+0000 batch-concat separator (never appears in text)
 
 
 def _mix64(x: "np.ndarray") -> "np.ndarray":  # noqa: F821
-    """Vectorized splitmix64 finalizer over uint64 (wraparound is the
-    defined semantics — no undefined overflow, unlike the previous
-    int64 polynomial fold whose key*PACK wrapped before the mod)."""
-    import numpy as np
+    """Vectorized splitmix64 finalizer over uint64 — the shared
+    definition (functions/hashing.py); wraparound is the defined
+    semantics, no undefined overflow."""
+    from ..functions.hashing import splitmix64
 
-    M = np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & M
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & M
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & M
-    return x ^ (x >> np.uint64(31))
+    return splitmix64(x)
 
 
 def _batch_minhash_features(
@@ -168,7 +159,11 @@ def _batch_minhash_features(
     P = _LSH_P
     B = _POLY_B
 
-    texts = ["" if t is None else t for t in texts]
+    # U+0000 is the batch-concat separator; a NUL inside document text
+    # would shift every downstream doc boundary (shape mismatch in the
+    # executor). Strip it — candidate-stage only, the exact Jaccard
+    # verify stage sees the original text (ADVICE r3).
+    texts = ["" if t is None else t.replace("\x00", "") for t in texts]
     n_docs = len(texts)
     joined = "\x00".join(texts) + "\x00"
     cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)

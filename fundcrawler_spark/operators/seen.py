@@ -39,16 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import MASK64, splitmix64 as _splitmix64
 from ..schemas import SEEN_SHARDS_SCHEMA
-
-MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & MASK64
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & MASK64
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & MASK64
-    return x ^ (x >> np.uint64(31))
 
 
 def _h2(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -55,3 +55,42 @@ def test_phash_hamming_column(spark):
     df = spark.createDataFrame([(3, 1)], "a long, b long")
     d = df.select(phash_hamming(F.col("a"), F.col("b")).alias("d")).first()["d"]
     assert d == 1
+
+
+def test_frozen_phash_fixture_reproduced():
+    """The committed frozen fixture (the oracle's independent side for
+    phash_near_dup_pairs / images_enrich) must match what the live
+    decode->phash path computes today. If this fails, the codec
+    semantics drifted: fix the regression, or — for a DELIBERATE
+    change — regenerate via scripts/freeze_phash.py and commit."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from freeze_phash import compute_entries
+
+    from fundcrawler_spark.frozen_phash import FROZEN_IMAGE_META
+
+    assert compute_entries() == FROZEN_IMAGE_META
+
+
+def test_frozen_oracle_catches_phash_perturbation(spark):
+    """A 1-bit phash regression in the engine output must diverge from
+    the frozen-VALUES oracle's pair set — i.e. the oracle is sensitive,
+    not tautological."""
+    from fundcrawler_spark.frozen_phash import FROZEN_IMAGE_META
+    from fundcrawler_spark.operators.dedup import phash_near_dups
+
+    rows = [(i, ph) for i, _w, _h, _f, ph in FROZEN_IMAGE_META]
+    base = spark.createDataFrame(rows, "image_id string, phash long")
+    ok = {(r["id_a"], r["id_b"]) for r in phash_near_dups(base, max_hamming=10).collect()}
+    assert ok  # fixture plants near-dups; pair set is non-empty
+
+    # flip 32 spread bits of one planted dup's phash: any original pair
+    # at hamming <= 10 moves to >= 22 and must vanish from the output
+    victim = next(i for i, _ in rows if i.startswith("dup_"))
+    victim_pairs = {p for p in ok if victim in p}
+    assert victim_pairs
+    flip = 0xAAAAAAAAAAAAAAAA - (1 << 64)  # 32 bits set, as signed int64
+    bad_rows = [(i, ph ^ flip if i == victim else ph) for i, ph in rows]
+    bad = spark.createDataFrame(bad_rows, "image_id string, phash long")
+    got = {(r["id_a"], r["id_b"]) for r in phash_near_dups(bad, max_hamming=10).collect()}
+    assert not (victim_pairs & got)

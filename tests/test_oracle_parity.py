@@ -38,6 +38,7 @@ FAST = [
     "simhash",
     "simhash_pairs",
     "phash_near_dup_pairs",
+    "images_enrich",
     "neardup_jaccard",
     "embedding_topk",
     "embedding_neardup",
