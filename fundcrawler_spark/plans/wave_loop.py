@@ -43,7 +43,7 @@ from ..operators.assemble import assemble_results
 from ..operators.fetch import run_fetch, with_fetch_order
 from ..operators.politeness import admit, robots_filter
 from ..operators.seen import SeenSet
-from ..schemas import FRONTIER_SCHEMA, SEEN_SHARDS_SCHEMA
+from ..schemas import FRONTIER_SCHEMA, PAGE_TYPES, SEEN_SHARDS_SCHEMA
 from ..sources.iceberg_lite import IcebergLiteTable
 from .rate_control import BudgetTable
 
@@ -224,32 +224,66 @@ class Crawler:
         pending_logs: list[DataFrame] = []
         pending_persisted: list[DataFrame] = []
 
+        # -------- incremental finalize: incomplete-seeds side pool ----
+        # Barrier pages (the 4 PAGE_TYPES) of seeds that have NOT yet
+        # passed the 4-page barrier. Each finalize interval unions the
+        # interval's new barrier pages in, assembles + appends exactly
+        # the seeds that just completed, and evicts them — so the pool
+        # is bounded by in-flight incomplete seeds and a seed's result
+        # row is appended EXACTLY ONCE (a completed seed leaves the
+        # pool and can never re-trigger, even when a discovered
+        # ANNOUNCE page for it arrives later — the r3 duplicate-results
+        # bug). Replaces the per-interval full pages-table scan: cost
+        # is O(interval + in-flight partial pages), not O(pages table).
+        # On resume the pool is rebuilt ONCE from the rolled-back pages
+        # table (seeds with < 4 distinct barrier page types).
+        incomplete: DataFrame | None = None
+        if resume:
+            pages_tbl = self.pages.read(spark)
+            if pages_tbl is not None:
+                barrier = pages_tbl.filter(
+                    F.col("page_type").isin(list(PAGE_TYPES))
+                ).select("seed_index", "page_type", "body")
+                partial = (
+                    barrier.groupBy("seed_index")
+                    .agg(F.count_distinct("page_type").alias("npt"))
+                    .filter(F.col("npt") < len(PAGE_TYPES))
+                    .select("seed_index")
+                )
+                incomplete = barrier.join(partial, "seed_index").localCheckpoint()
+
         def finalize_increment(new_pages: DataFrame) -> None:
-            """Per-checkpoint-interval finalize: assemble ONLY the seeds
-            touched by this interval's pages and append their results;
-            enrich ONLY the new page rows into the images table. A seed
-            completes exactly once (each (seed, page_type) URL is
-            fetched once), so a touched seed passing the 4-page barrier
-            now must have received its 4th page in this interval —
-            append-exactly-once holds without any driver bookkeeping.
-            Replaces the old end-of-run full recompute, which re-parsed
-            every page of the whole crawl; the remaining per-interval
-            cost is one pages-table scan for the broadcast semi-join
-            (at 100 TB the table would be bucketed by seed_index so
-            that scan prunes to the touched buckets).
-            Snapshot alignment: runs inside flush_appends, i.e. BEFORE
-            _write_checkpoint records results/images snapshot ids, so
-            resume rolls all four tables back to the same boundary."""
+            """Per-checkpoint-interval finalize: fold this interval's
+            barrier pages into the incomplete-seeds pool, assemble +
+            append results for seeds that just completed, evict them
+            from the pool; enrich ALL new page rows into the images
+            table. Snapshot alignment: runs inside flush_appends, i.e.
+            BEFORE _write_checkpoint records results/images snapshot
+            ids, so resume rolls all four tables back to the same
+            boundary (the pool is rebuilt from the pages table)."""
+            nonlocal incomplete
             from ..operators.multimodal import enrich_images
             from ..operators.politeness import with_page_ordinal
 
-            touched = new_pages.select("seed_index").distinct()
-            pages_all = self.pages.read(spark)
-            mine = pages_all.join(F.broadcast(touched), "seed_index")
-            results_new = assemble_results(
-                mine.select("seed_index", "page_type", "body"), seeds
+            new_barrier = new_pages.filter(
+                F.col("page_type").isin(list(PAGE_TYPES))
+            ).select("seed_index", "page_type", "body")
+            pool = (
+                new_barrier if incomplete is None
+                else incomplete.unionByName(new_barrier)
             )
+            results_new = assemble_results(pool, seeds)
             self.results.append(results_new)
+            # seeds completing this interval (bounded) leave the pool
+            done = (
+                pool.groupBy("seed_index")
+                .agg(F.count_distinct("page_type").alias("npt"))
+                .filter(F.col("npt") == len(PAGE_TYPES))
+                .select("seed_index")
+            )
+            incomplete = pool.join(
+                F.broadcast(done), "seed_index", "left_anti"
+            ).localCheckpoint()
             raw = with_page_ordinal(new_pages).select(
                 F.concat_ws("_", F.lit("img"), "seed_index", "page_ordinal").alias("image_id"),
                 F.col("image_bytes").alias("bytes"),

@@ -41,6 +41,14 @@ def test_discovery_exactly_once_and_golden(spark):
 
         pages = c.pages.read(spark).collect()
         ann = [r for r in pages if r["page_type"] == "ANNOUNCE"]
+        # results are appended EXACTLY ONCE per completed seed: a
+        # discovered ANNOUNCE page arriving in a later interval for an
+        # already-completed seed must NOT re-trigger its assembly
+        # (r3 ADVICE regression: duplicate result rows in discover mode)
+        res = c.results.read(spark).collect()
+        codes = [r["fund_code"] for r in res]
+        assert len(codes) == len(set(codes)), sorted(codes)
+        assert len(codes) == n  # every seed completed exactly once
         # the exactly-once property: no URL is ever fetched twice, and
         # every announce page that WAS fetched is unique — despite being
         # discovered by BOTH its OVERVIEW and MANAGER pages
