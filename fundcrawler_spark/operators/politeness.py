@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -109,22 +110,49 @@ class RobotsMatcher:
                 verdict, best_len = allow, plen
         return verdict
 
+    def allowed_many(self, paths: pd.Series) -> np.ndarray:
+        """Vectorized ``allowed`` over a path Series: one
+        ``Series.str.match`` (C-level regex sweep) per RULE, not one
+        Python match per URL — the per-rule longest-match/equal-length-
+        Allow update is elementwise identical to the scalar loop."""
+        n = len(paths)
+        verdict = np.ones(n, dtype=bool)
+        if not self.rules or n == 0:
+            return verdict
+        s = paths.fillna("")
+        s = s.mask(s == "", "/")
+        best_len = np.full(n, -1, dtype=np.int64)
+        for allow, plen, rx in self.rules:
+            m = s.str.match(rx).to_numpy(dtype=bool)
+            upd = m & ((plen > best_len) | ((best_len == plen) & allow))
+            verdict[upd] = allow
+            best_len[upd] = plen
+        return verdict
+
 
 def robots_filter(
     frontier: DataFrame, robots_by_host: dict[str, str | None], agent: str = "fundcrawler"
 ) -> DataFrame:
     """Keep only robots-allowed rows. ``robots_by_host`` comes from the
-    small hosts table; matchers are compiled once per executor batch."""
+    small hosts table; matchers are compiled once per executor batch.
+    Each Arrow batch is grouped by host and checked with the host's
+    vectorized ``allowed_many`` — no per-row Python (r3 verdict 4).
+    The wave loop applies this once at INSERTION (seeds, resume,
+    discoveries), not per wave — robots config is static per run."""
     matchers = {h: RobotsMatcher(txt, agent) for h, txt in robots_by_host.items()}
 
     @F.pandas_udf(T.BooleanType())
     def allowed(host: pd.Series, url_norm: pd.Series) -> pd.Series:
         paths = url_norm.str.replace(r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True)
-        out = []
-        for h, p in zip(host, paths):
+        res = np.ones(len(paths), dtype=bool)
+        hs = host.to_numpy()
+        for h in pd.unique(hs):
             m = matchers.get(h)
-            out.append(m.allowed(p or "/") if m else True)
-        return pd.Series(out, dtype=bool)
+            if m is None or not m.rules:
+                continue
+            mask = hs == h
+            res[mask] = m.allowed_many(paths[mask].reset_index(drop=True))
+        return pd.Series(res, dtype=bool)
 
     return frontier.filter(allowed(F.col("host"), F.col("url_norm")))
 

@@ -172,12 +172,25 @@ class Crawler:
         cfg = self.cfg
         spark = self.spark
 
+        # robots filtering happens ONCE, at insertion time (seeds /
+        # resume load / discoveries) — robots config is static per run,
+        # so permanently-disallowed rows never enter the frontier, every
+        # steady-state wave skips the filter entirely, and a blocked
+        # crawl terminates exactly when the ADMITTABLE frontier drains
+        # (the r3 spin-to-max_waves wart). Requeued failures were
+        # admitted, hence already allowed.
+        def robots_drop(df: DataFrame) -> DataFrame:
+            if cfg.robots_by_host:
+                return robots_filter(df, cfg.robots_by_host, cfg.agent)
+            return df
+
         seeds_path = os.path.join(self.workdir, "seeds.parquet")
         if resume:
             last = self.latest_checkpoint()
             if last is None:
                 raise RuntimeError("no complete checkpoint to resume from")
             frontier, shards, budgets, order_offset = self._load_checkpoint(last)
+            frontier = robots_drop(frontier)
             wave = last + 1
             seeds = spark.read.parquet(seeds_path)
             log(f"[crawl] resumed from checkpoint wave={last}")
@@ -204,7 +217,7 @@ class Crawler:
             # probe-at-insert: drop URLs already in the seen set (no-op on
             # an empty set; meaningful when seeding an existing crawl)
             probed = self.seen.probe(shards, frontier0)
-            frontier = probed.filter(~F.col("seen")).drop("seen")
+            frontier = robots_drop(probed.filter(~F.col("seen")).drop("seen"))
             budgets = BudgetTable(max_num=float(cfg.max_budget), init_cur=cfg.init_budget)
             wave, order_offset = 0, 0
 
@@ -349,11 +362,6 @@ class Crawler:
 
         from ..operators.politeness import top_slice_keys
 
-        def admittable(df: DataFrame) -> DataFrame:
-            if cfg.robots_by_host:
-                return robots_filter(df, cfg.robots_by_host, cfg.agent)
-            return df
-
         active: DataFrame = frontier
         backlog: DataFrame | None = None
         active_counts: dict[str, int] = {}
@@ -376,7 +384,7 @@ class Crawler:
                 orig_rem_lb = dict(total)
                 return
             keys = top_slice_keys(
-                admittable(src), slice_k, approx_rows=sum(total.values())
+                src, slice_k, approx_rows=sum(total.values())
             ).localCheckpoint()
             active = src.join(F.broadcast(keys), "url_hash").localCheckpoint()
             backlog = src.join(F.broadcast(keys), "url_hash", "left_anti")
@@ -389,13 +397,9 @@ class Crawler:
                 for h, c in total.items()
                 if c - active_counts.get(h, 0) > 0
             }
-            if cfg.robots_by_host and backlog_total:
-                backlog_admittable = {
-                    r["host"]: r["count"]
-                    for r in admittable(backlog).groupBy("host").count().collect()
-                }
-            else:
-                backlog_admittable = dict(backlog_total)
+            # robots-disallowed rows are dropped at insertion, so every
+            # frontier row is admittable by construction
+            backlog_admittable = dict(backlog_total)
             orig_rem_lb = dict(active_counts)
 
         def refill(hosts: list[str]) -> None:
@@ -403,7 +407,7 @@ class Crawler:
             sub = backlog.filter(F.col("host").isin(hosts))
             approx = sum(backlog_admittable.get(h, 0) for h in hosts)
             keys = top_slice_keys(
-                admittable(sub), slice_k, approx_rows=approx
+                sub, slice_k, approx_rows=approx
             ).localCheckpoint()
             moved = backlog.join(F.broadcast(keys), "url_hash").localCheckpoint()
             # amortized: one backlog rewrite per ~active_slice_waves
@@ -469,10 +473,11 @@ class Crawler:
                 if h in wave_budgets and cap is not None:
                     wave_budgets[h] = min(wave_budgets[h], cap)
 
-            # per-wave candidate set = ACTIVE only (robots-checked here
-            # so late-added rows — requeues, discoveries — get the same
-            # filter the old full-frontier path applied every wave)
-            cand = admittable(active)
+            # per-wave candidate set = ACTIVE only; no robots filter
+            # here — disallowed rows never entered the frontier
+            # (insertion-time drop), requeues were admitted hence
+            # allowed, discoveries were filtered on insert
+            cand = active
             admitted = admit(cand, wave_budgets, cfg.max_budget,
                              approx_rows=sum(active_counts.values()))
             admitted.persist()
@@ -589,6 +594,9 @@ class Crawler:
                             "page_type", "seed_index", "retry_count", "priority", "wave",
                         )
                     )
+                    # robots check at insertion (static per run) — a
+                    # disallowed discovery never enters the frontier
+                    disc = robots_drop(disc)
                     # split is degenerate in discover mode (backlog is
                     # None), so the active anti-join IS the full pending
                     # frontier dedup
