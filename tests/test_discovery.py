@@ -46,9 +46,9 @@ def test_discovery_exactly_once_and_golden(spark):
         # already-completed seed must NOT re-trigger its assembly
         # (r3 ADVICE regression: duplicate result rows in discover mode)
         res = c.results.read(spark).collect()
-        codes = [r["fund_code"] for r in res]
-        assert len(codes) == len(set(codes)), sorted(codes)
-        assert len(codes) == n  # every seed completed exactly once
+        rcodes = [r["fund_code"] for r in res]
+        assert len(rcodes) == len(set(rcodes)), sorted(rcodes)
+        assert len(rcodes) == n  # every seed completed exactly once
         # the exactly-once property: no URL is ever fetched twice, and
         # every announce page that WAS fetched is unique — despite being
         # discovered by BOTH its OVERVIEW and MANAGER pages
@@ -73,3 +73,80 @@ def test_discovery_exactly_once_and_golden(spark):
         assert set(eng) == sim["seen"]
     finally:
         shutil.rmtree(wd)
+
+
+def test_discovery_with_forced_refills_golden(spark):
+    """Discovery + the active/backlog split under stress: slice = one
+    wave's budget (refill on essentially every wave), failures in play,
+    durable checkpoints mid-run. Crawl order, wave count, seen set, and
+    results-exactly-once must match the simulator bit-for-bit, with the
+    incremental host-count cross-check on every wave (r3 verdict item 1:
+    the split now covers discover mode)."""
+    n = 24
+    seeds = spark.createDataFrame(fx.seed_rows(n), SEEDS_SCHEMA)
+    codes = [r[0] for r in fx.seed_rows(n)]
+    wd = tempfile.mkdtemp(prefix="disc_split_")
+    try:
+        cfg = CrawlConfig(
+            fail_rate=0.02, max_fail_attempts=1, max_waves=50, n_shards=8,
+            max_budget=16, active_slice_waves=1, checkpoint_every=3,
+            discover=True, verify_host_counts=True,
+        )
+        c = Crawler(spark, wd, cfg)
+        stats = c.run(seeds=seeds, log=lambda *a: None)
+
+        pages = c.pages.read(spark).collect()
+        assert len({r["url_hash"] for r in pages}) == len(pages)  # exactly-once
+        res = c.results.read(spark).collect()
+        codes_out = [r["fund_code"] for r in res]
+        assert len(codes_out) == len(set(codes_out)) == n
+
+        rows = [r.asDict() for r in seeds_to_frontier(seeds).collect()]
+        sim = simulate(
+            rows, fail_rate=0.02, max_fail_attempts=1, max_waves=50,
+            max_budget=16, n_shards=8,
+            discover_map=_discover_map(spark, codes),
+        )
+        assert stats["pages_fetched"] == len(sim["order"])
+        assert stats["waves"] == sim["waves"]
+        eng = {r["url_hash"]: (r["fetch_order"], r["wave"]) for r in pages}
+        sim_last = {}
+        for o, h, w in sim["order"]:
+            sim_last[h] = (o, w)
+        assert eng == sim_last
+        assert set(eng) == sim["seen"]
+    finally:
+        shutil.rmtree(wd)
+
+
+def test_dedup_backlog_rows_drops_seen_and_pending(spark):
+    """The discover-mode refill dedup: a backlog row whose URL was
+    already fetched via a discovered duplicate (in the seen set), or
+    whose duplicate is pending in the active slice, is dropped when it
+    surfaces; everything else passes through untouched. This is the
+    general URL-collision path (discovered URL == seeded URL) that the
+    stub-transport goldens cannot produce — exactly-once rests on it."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.operators.seen import SeenSet
+    from fundcrawler_spark.plans.wave_loop import dedup_backlog_rows
+
+    seen = SeenSet(spark, n_shards=4)
+    moved = spark.createDataFrame(
+        [(1, "h"), (2, "h"), (3, "h"), (4, "h")], "url_hash long, host string"
+    )
+    shards = seen.insert(seen.empty_shards(), spark.createDataFrame([(2,)], "url_hash long"))
+    active = spark.createDataFrame([(3, "h"), (9, "h")], "url_hash long, host string")
+    out = sorted(
+        r["url_hash"] for r in dedup_backlog_rows(seen, shards, moved, active).collect()
+    )
+    assert out == [1, 4]  # 2 seen-dropped, 3 active-dropped
+
+    # no-op pass-through when nothing collides
+    out2 = sorted(
+        r["url_hash"]
+        for r in dedup_backlog_rows(
+            seen, seen.empty_shards(), moved, active.filter(F.col("url_hash") > 100)
+        ).collect()
+    )
+    assert out2 == [1, 2, 3, 4]
