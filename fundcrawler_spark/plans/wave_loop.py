@@ -20,11 +20,19 @@ admission order) and a static BACKLOG that steady-state waves never
 read — admission ranks, anti-joins, and requeues touch only the active
 slice, and the backlog is scanned only at refills (when a host's
 remaining original slice could dip below max_budget) and at durable
-checkpoints. Per-host frontier counts are maintained incrementally on
-the driver (bounded deltas per wave). The admitted side of every join
-is budget-bounded -> broadcast; seen-set maintenance touches one blob
-per shard per wave; the only global sort is over the admitted set
-(<= hosts x max_budget rows) for the crawl-order contract.
+checkpoints. The split covers DISCOVERY mode: discovered URLs dedup
+against the seen set + the bounded active slice only, and a duplicate
+of a still-backlogged row is dropped when that row surfaces (refill /
+checkpoint re-split). Robots rules are applied ONCE at insertion
+(static per run), so steady-state waves skip the filter and a blocked
+crawl drains exactly. Result assembly is incremental over a bounded
+incomplete-seeds pool (no per-interval pages-table scan). Per-host
+frontier counts are maintained incrementally on the driver (bounded
+deltas per wave). The admitted side of every join is budget-bounded ->
+broadcast; seen-set maintenance touches one blob per shard per wave;
+the only global sort is over the admitted set (<= hosts x max_budget
+rows) for the crawl-order contract. Per-wave flatness in backlog size
+is measured by scripts/bench_backlog.py.
 """
 
 from __future__ import annotations

@@ -103,3 +103,18 @@ def test_minhash_signature_kernel_equals_column_math(spark):
     k2 = {r["doc_id"]: list(r["sig"])
           for r in minhash_signature_kernel(docs, 16).collect()}
     assert c2 == k2
+
+
+def test_batch_minhash_features_nul_in_text():
+    """U+0000 is the kernel's batch-concat separator; a NUL inside a
+    document must not shift doc boundaries (previously an executor-side
+    shape mismatch). Semantics: NULs are stripped before shingling —
+    candidate stage only, exact verify sees the original text."""
+    from fundcrawler_spark.operators.dedup import _batch_minhash_features
+
+    dirty = ["before\x00after words here", "\x00", "clean text stays put"]
+    clean = [t.replace("\x00", "") for t in dirty]
+    wd, cd = _batch_minhash_features(dirty, 2, 5, 24, 32)
+    wc, cc = _batch_minhash_features(clean, 2, 5, 24, 32)
+    assert (wd == wc).all() and (cd == cc).all()
+    assert wd.shape == (3, 24) and cd.shape == (3, 32)
