@@ -66,3 +66,26 @@ def test_neardup_and_similarity_plans_never_cartesian(spark):
         # broadcast query side; reject it on the self-join paths
         if name in ("neardup_jaccard", "embedding_neardup", "dedup_groups"):
             assert "NestedLoop" not in plan, name
+
+
+def test_refill_dedup_plan_is_broadcast(spark):
+    """Scale guard for the discover-mode refill dedup: the anti-join of
+    moved backlog rows vs the bounded active keys must be a broadcast
+    hash join (the moved side may be arbitrarily large at refill); a
+    SortMergeJoin here would shuffle backlog-sized data per refill."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.operators.seen import SeenSet
+    from fundcrawler_spark.plans.wave_loop import dedup_backlog_rows
+
+    seen = SeenSet(spark, n_shards=4)
+    moved = spark.range(10_000).select(
+        F.col("id").cast("long").alias("url_hash"), F.lit("h").alias("host")
+    )
+    active = spark.range(100).select(
+        F.col("id").cast("long").alias("url_hash"), F.lit("h").alias("host")
+    )
+    out = dedup_backlog_rows(seen, seen.empty_shards(), moved, active)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]

@@ -125,3 +125,39 @@ def test_resume_with_batched_appends(spark):
     finally:
         shutil.rmtree(wd1)
         shutil.rmtree(wd2)
+
+
+def test_resume_with_robots_equals_straight_run(spark):
+    """Robots filtering composes with resume: disallowed rows are
+    dropped at seed insertion AND re-dropped defensively when a
+    checkpoint frontier is reloaded, so a resumed blocked crawl matches
+    the straight run exactly (pages, results, waves) and never fetches
+    a disallowed URL."""
+    from fundcrawler_spark.fixtures import EASTMONEY_HOST
+
+    robots = {EASTMONEY_HOST: "User-agent: *\nDisallow: /tsdata_\nAllow: /\n"}
+    seeds = spark.createDataFrame(fx.seed_rows(8), SEEDS_SCHEMA)
+    full = CrawlConfig(fail_rate=0.02, max_fail_attempts=1, max_waves=40,
+                       n_shards=8, robots_by_host=robots)
+    half = CrawlConfig(fail_rate=0.02, max_fail_attempts=1, max_waves=3,
+                       n_shards=8, robots_by_host=robots)
+
+    wd1, wd2 = tempfile.mkdtemp(prefix="rRA_"), tempfile.mkdtemp(prefix="rRB_")
+    try:
+        c1 = Crawler(spark, wd1, full)
+        s1 = c1.run(seeds=seeds, log=lambda *a: None)
+
+        Crawler(spark, wd2, half).run(seeds=seeds, log=lambda *a: None)
+        c2 = Crawler(spark, wd2, full)
+        s2 = c2.run(resume=True, log=lambda *a: None)
+
+        assert (s1["waves"], s1["pages_fetched"]) == (s2["waves"], s2["pages_fetched"])
+        key = lambda r: (r["fetch_order"], r["url_hash"], r["wave"])
+        p1 = sorted(map(key, c1.pages.read(spark).collect()))
+        p2 = sorted(map(key, c2.pages.read(spark).collect()))
+        assert p1 == p2
+        assert not any("tsdata" in r["url"] for r in c2.pages.read(spark).collect())
+        assert s1["waves"] < 40  # terminated by drain, not max_waves
+    finally:
+        shutil.rmtree(wd1)
+        shutil.rmtree(wd2)
