@@ -1469,3 +1469,79 @@ def q_seed_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("fund_name"),
         )
     )
+
+
+# ------------------------------------------ cross-modal dedup groups
+# Connected components over the UNION of visual (phash<=10) and caption
+# (exact string) duplicate edges on the image fixture set, extended
+# with re-captioned re-encodes (phash-only edges), caption twins, and
+# BRIDGE rows (pixels of one image + caption of another) that merge two
+# groups through mixed modalities. Oracle: pairs + recursive-CTE
+# closure over the FROZEN committed phashes + the same caption strings
+# — fully independent of the runtime codec path.
+def _crossmodal_rows():
+    """(image_id, bytes|None, phash_frozen, caption) for engine+oracle."""
+    from . import fixtures as fx
+    from .frozen_phash import FROZEN_IMAGE_META
+
+    frozen = {i: ph for i, _w, _h, _f, ph in FROZEN_IMAGE_META}
+    rows = fx.image_rows(64)
+    out = []
+    for r in rows:
+        out.append((r[0], r[1], frozen[r[0]], r[5]))
+    for k, i in enumerate(range(0, 64, 8)):
+        # dctq re-encodes of every 8th image; half keep the original
+        # caption (both-edge dup), half are re-captioned (phash-only)
+        rid = f"dup_{rows[i][0]}"
+        cap = rows[i][5] if k % 2 == 0 else f"recaptioned copy {k}"
+        out.append((rid, None, frozen[rid], cap))
+    for k in range(4):
+        # bridge: pixels of image 8k+1 with the caption of image 8k+5 —
+        # merges the two components through mixed edges
+        j, m = rows[8 * k + 1], rows[8 * k + 5]
+        out.append((f"bridge_{k}", j[1], frozen[j[0]], m[5]))
+    return out
+
+
+def _crossmodal_oracle_sql() -> str:
+    values = ",\n".join(
+        f"('{i}', CAST({ph} AS BIGINT), '{cap}')"
+        for i, _b, ph, cap in _crossmodal_rows()
+    )
+    return f"""
+WITH RECURSIVE p(image_id, phash, caption) AS (VALUES
+{values}),
+pairs AS MATERIALIZED (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM p a JOIN p b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 10 OR a.caption = b.caption),
+edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+grp AS (SELECT src AS image_id, min(dst) AS group_id FROM reach GROUP BY src)
+SELECT p.image_id, coalesce(g.group_id, p.image_id) AS group_id
+FROM p LEFT JOIN grp g USING (image_id)
+"""
+
+
+@register("crossmodal_dedup_groups", _crossmodal_oracle_sql)
+def q_crossmodal_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .functions import imaging
+    from .operators.dedup import crossmodal_dup_groups
+    from .operators.multimodal import enrich_images
+
+    rows = fx.image_rows(64)
+    engine_rows = []
+    for i, b, ph, cap in _crossmodal_rows():
+        if b is None:  # dctq re-encode payloads, built from the source
+            src = rows[int(i.split("_")[2]) * 4 + int(i.split("_")[3])]
+            arr = imaging.decode_image(bytes(src[1]), src[4])
+            b = bytearray(imaging.encode_image(arr, "dctq"))
+        engine_rows.append((i, b, cap))
+    df = spark.createDataFrame(
+        engine_rows, "image_id string, bytes binary, caption string"
+    )
+    return crossmodal_dup_groups(enrich_images(df), max_hamming=10)

@@ -415,12 +415,23 @@ def neardup_groups(
     here and is exactly the fixpoint a SQL transitive closure
     reaches, which is what the oracle checks.)"""
     pairs = minhash_lsh_pairs(docs, threshold, id_col=id_col, text_col=text_col)
-    fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return label_propagate(
+        docs.select(F.col(id_col).alias("id")),
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+    ).select(F.col("id").alias(id_col), "group_id")
+
+
+def label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    pair graph: nodes(id), pairs(a, b) -> (id, group_id) with group_id
+    = the component's min id (singletons group with themselves). Each
+    round shuffles only (id, label) pairs; converges in O(diameter)
+    joins."""
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
 
-    labels = docs.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    labels = nodes.select("id").withColumn("label", F.col("id"))
     while True:
         labels = labels.persist()
         nbr_min = (
@@ -452,9 +463,7 @@ def neardup_groups(
     # the loop already ran jobs per round; one more tiny job pins the
     # converged (id, label) table so the final cache can be released
     # rather than leak for the session
-    out = labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("group_id")
-    ).localCheckpoint()
+    out = labels.select("id", F.col("label").alias("group_id")).localCheckpoint()
     labels.unpersist()
     return out
 
@@ -551,3 +560,36 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def crossmodal_dup_groups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """(image_id, group_id): connected components over the UNION of two
+    edge sets on an image+caption table — visual near-dups (64-bit
+    phash within ``max_hamming``, pigeonhole-blocked, phash_near_dups)
+    and caption exact-dups (identical caption string). The cross-modal
+    grouping a training-data pipeline runs before keeping one exemplar
+    per group: a re-encoded copy of the same pixels AND a re-captioned
+    copy of the same text both collapse into one group, and a row that
+    shares pixels with one group and caption with another BRIDGES them.
+
+    Scale shape: phash edges are pigeonhole-blocked equi-joins (never
+    O(n^2)); caption edges are a min-id star per caption — one hash
+    aggregation on the caption column, |rows| edges max, no within-
+    caption quadratic blowup for heavily-duplicated captions; the
+    component step shuffles only (id, label) pairs (label_propagate).
+    """
+    base = images.select("image_id", "phash", "caption")
+    visual = phash_near_dups(base, max_hamming=max_hamming).select("id_a", "id_b")
+    cap = base.filter(F.col("caption").isNotNull())
+    cap_root = cap.groupBy("caption").agg(F.min("image_id").alias("root"))
+    cap_edges = (
+        cap.join(cap_root, "caption")
+        .filter(F.col("image_id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("image_id").alias("id_b"))
+    )
+    pairs = visual.unionByName(cap_edges).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    return label_propagate(
+        base.select(F.col("image_id").alias("id")), pairs
+    ).select(F.col("id").alias("image_id"), "group_id")

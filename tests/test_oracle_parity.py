@@ -39,6 +39,7 @@ FAST = [
     "simhash_pairs",
     "phash_near_dup_pairs",
     "images_enrich",
+    "crossmodal_dedup_groups",
     "neardup_jaccard",
     "embedding_topk",
     "embedding_neardup",
