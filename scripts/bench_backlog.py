@@ -32,6 +32,7 @@ BACKLOGS = [int(float(b)) for b in os.environ.get(
     "BACKLOGS", "1000000,10000000,100000000").split(",")]
 WAVES = int(os.environ.get("WAVES", "10"))
 DISCOVER = os.environ.get("DISCOVER", "0") == "1"
+STATIC = os.environ.get("STATIC", "1") == "1"
 
 
 def synth_seeds(spark, n_rows: int):
@@ -103,7 +104,8 @@ def main() -> None:
     spark = get_spark("bench_backlog", cores=CPUS)
     out = []
     for b in BACKLOGS:
-        for disc in ([False, True] if DISCOVER else [False]):
+        modes = ([False] if STATIC else []) + ([True] if DISCOVER else [])
+        for disc in modes:
             r = run_one(spark, b, disc)
             print(json.dumps(r), flush=True)
             out.append(r)
