@@ -63,6 +63,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string for interpolation into a single-quoted SQL
+    literal (oracle VALUES builders): '' is the SQL-standard escape."""
+    return s.replace("'", "''")
+
+
 # =====================================================================
 # shared synthetic-fund derivation (customer -> 12-col-result analog)
 # =====================================================================
@@ -1344,10 +1350,25 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
-# ------------------------------------------ rows-only (non-SQL) entries
 # BPE-ish token counting uses lookaround regex splits RE2 (DuckDB)
-# cannot express -> no oracle; driver records the weaker rows check.
-@register("token_count_bpe", None)
+# cannot express directly — the oracle instead inlines FROZEN committed
+# counts (frozen_bpe.py) computed by an INDEPENDENT pure-Python
+# re-implementation of the tokenizer spec (scripts/freeze_bpe.py; a
+# pytest re-derives the fixture from that script, so neither side can
+# silently drift). Same pattern as frozen_phash (r4 verdict item 3).
+def _bpe_oracle_sql() -> str:
+    from .frozen_bpe import FROZEN_BPE_COUNTS
+
+    values = ",\n".join(
+        f"(CAST({i} AS BIGINT), {n})" for i, n in FROZEN_BPE_COUNTS
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values +
+        ") AS t(doc_id, n_bpe_tokens)"
+    )
+
+
+@register("token_count_bpe", _bpe_oracle_sql)
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import bpe_ish_token_count
 
@@ -1366,7 +1387,7 @@ def _images_enrich_oracle_sql() -> str:
     from .frozen_phash import FROZEN_IMAGE_META
 
     values = ",\n".join(
-        f"('{i}', {w}, {h}, '{fmt}', CAST({ph} AS BIGINT))"
+        f"('{_sql_str(i)}', {w}, {h}, '{_sql_str(fmt)}', CAST({ph} AS BIGINT))"
         for i, w, h, fmt, ph in FROZEN_IMAGE_META
         if not i.startswith("dup_")
     )
@@ -1403,7 +1424,8 @@ def _phash_oracle_sql() -> str:
     from .frozen_phash import FROZEN_IMAGE_META
 
     values = ",\n".join(
-        f"('{i}', CAST({ph} AS BIGINT))" for i, _w, _h, _f, ph in FROZEN_IMAGE_META
+        f"('{_sql_str(i)}', CAST({ph} AS BIGINT))"
+        for i, _w, _h, _f, ph in FROZEN_IMAGE_META
     )
     return f"""
 WITH p(image_id, phash) AS (VALUES
@@ -1505,7 +1527,7 @@ def _crossmodal_rows():
 
 def _crossmodal_oracle_sql() -> str:
     values = ",\n".join(
-        f"('{i}', CAST({ph} AS BIGINT), '{cap}')"
+        f"('{_sql_str(i)}', CAST({ph} AS BIGINT), '{_sql_str(cap)}')"
         for i, _b, ph, cap in _crossmodal_rows()
     )
     return f"""

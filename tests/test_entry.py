@@ -89,3 +89,19 @@ def test_refill_dedup_plan_is_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_frozen_bpe_fixture_reproduced():
+    """The committed frozen BPE counts (the oracle's independent side
+    for token_count_bpe) must reproduce from the pure-Python tokenizer
+    in scripts/freeze_bpe.py. If this fails, the tokenizer spec drifted
+    on one side: fix the regression, or for a DELIBERATE spec change
+    regenerate via scripts/freeze_bpe.py and commit."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from freeze_bpe import compute_entries
+
+    from fundcrawler_spark.frozen_bpe import FROZEN_BPE_COUNTS
+
+    assert compute_entries() == FROZEN_BPE_COUNTS

@@ -63,8 +63,9 @@ def test_frozen_phash_fixture_reproduced():
     decode->phash path computes today. If this fails, the codec
     semantics drifted: fix the regression, or — for a DELIBERATE
     change — regenerate via scripts/freeze_phash.py and commit."""
+    import os
     import sys
-    sys.path.insert(0, "scripts")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from freeze_phash import compute_entries
 
     from fundcrawler_spark.frozen_phash import FROZEN_IMAGE_META
