@@ -1522,6 +1522,16 @@ def _crossmodal_rows():
         # merges the two components through mixed edges
         j, m = rows[8 * k + 1], rows[8 * k + 5]
         out.append((f"bridge_{k}", j[1], frozen[j[0]], m[5]))
+    for k in range(2):
+        # paraphrase bridge: pixels of image 8k+2 (identical bytes ->
+        # hamming-0 phash edge) with a whitespace-edited PARAPHRASE of
+        # image 8k+6's caption (char-3-gram jaccard 0.914 — above the
+        # 0.9 near-dup threshold; the closest organic caption pair
+        # sits at 0.882). Merges the two components only when caption
+        # NEAR-dup edges are on (r4 verdict item 6).
+        j, m = rows[8 * k + 2], rows[8 * k + 6]
+        out.append((f"para_{k}", j[1], frozen[j[0]],
+                    m[5].replace(" for ", " for  ")))
     return out
 
 
@@ -1530,13 +1540,20 @@ def _crossmodal_oracle_sql() -> str:
         f"('{_sql_str(i)}', CAST({ph} AS BIGINT), '{_sql_str(cap)}')"
         for i, _b, ph, cap in _crossmodal_rows()
     )
+    cap_grams = _SHINGLES_SQL.replace("text", "caption")
+    jac = (
+        "len(list_intersect(a.grams, b.grams)) / (len(a.grams) + "
+        "len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+    )
     return f"""
 WITH RECURSIVE p(image_id, phash, caption) AS (VALUES
 {values}),
+pg AS MATERIALIZED (SELECT image_id, phash, caption, {cap_grams} AS grams FROM p),
 pairs AS MATERIALIZED (
   SELECT a.image_id AS a, b.image_id AS b
-  FROM p a JOIN p b ON a.image_id < b.image_id
-  WHERE bit_count(xor(a.phash, b.phash)) <= 10 OR a.caption = b.caption),
+  FROM pg a JOIN pg b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 10 OR a.caption = b.caption
+     OR {jac} >= 0.9),
 edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
 reach(src, dst) AS (
   SELECT a, a FROM edges GROUP BY a
@@ -1566,4 +1583,6 @@ def q_crossmodal_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         engine_rows, "image_id string, bytes binary, caption string"
     )
-    return crossmodal_dup_groups(enrich_images(df), max_hamming=10)
+    return crossmodal_dup_groups(
+        enrich_images(df), max_hamming=10, caption_threshold=0.9
+    )

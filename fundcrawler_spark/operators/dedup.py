@@ -321,7 +321,9 @@ def _minhash_kernel(
                     "bk": list(bk),
                 })
 
-    out_schema = "id long, sh array<string>, bk array<long>"
+    # the id column keeps its input type (long doc ids, string image ids)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, sh array<string>, bk array<long>"
     spark = docs.sparkSession
     return (
         docs.select(F.col(id_col), F.col(text_col))
@@ -562,21 +564,35 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
-def crossmodal_dup_groups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
-    """(image_id, group_id): connected components over the UNION of two
+def crossmodal_dup_groups(
+    images: DataFrame,
+    max_hamming: int = 10,
+    caption_threshold: float | None = None,
+) -> DataFrame:
+    """(image_id, group_id): connected components over the UNION of
     edge sets on an image+caption table — visual near-dups (64-bit
-    phash within ``max_hamming``, pigeonhole-blocked, phash_near_dups)
-    and caption exact-dups (identical caption string). The cross-modal
-    grouping a training-data pipeline runs before keeping one exemplar
-    per group: a re-encoded copy of the same pixels AND a re-captioned
-    copy of the same text both collapse into one group, and a row that
+    phash within ``max_hamming``, pigeonhole-blocked, phash_near_dups),
+    caption exact-dups (identical caption string), and — when
+    ``caption_threshold`` is set — caption NEAR-dups (MinHash-LSH
+    candidates verified at exact char-3-gram jaccard >= threshold, the
+    same machinery as document near-dup: minhash_lsh_pairs). The
+    cross-modal grouping a training-data pipeline runs before keeping
+    one exemplar per group: a re-encoded copy of the same pixels, a
+    re-captioned copy of the same text, AND a whitespace/punctuation
+    paraphrase of a caption all collapse into one group; a row that
     shares pixels with one group and caption with another BRIDGES them.
 
     Scale shape: phash edges are pigeonhole-blocked equi-joins (never
-    O(n^2)); caption edges are a min-id star per caption — one hash
-    aggregation on the caption column, |rows| edges max, no within-
-    caption quadratic blowup for heavily-duplicated captions; the
-    component step shuffles only (id, label) pairs (label_propagate).
+    O(n^2)); exact caption edges are a min-id star per caption — one
+    hash aggregation on the caption column, |rows| edges max, no
+    within-caption quadratic blowup for heavily-duplicated captions;
+    near-dup caption edges are banded LSH equi-joins over short caption
+    strings (candidates only, no cross product — the exact-caption star
+    keeps identical captions out of the quadratic LSH buckets only when
+    they differ; identical captions DO collide per-band, so heavy
+    exact-dup captions should be deduped upstream or capped via
+    max_bucket at planetary scale); the component step shuffles only
+    (id, label) pairs (label_propagate).
     """
     base = images.select("image_id", "phash", "caption")
     visual = phash_near_dups(base, max_hamming=max_hamming).select("id_a", "id_b")
@@ -587,9 +603,16 @@ def crossmodal_dup_groups(images: DataFrame, max_hamming: int = 10) -> DataFrame
         .filter(F.col("image_id") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("image_id").alias("id_b"))
     )
-    pairs = visual.unionByName(cap_edges).select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    )
+    edges = visual.unionByName(cap_edges)
+    if caption_threshold is not None:
+        near_cap = minhash_lsh_pairs(
+            cap.select("image_id", "caption"),
+            threshold=caption_threshold,
+            id_col="image_id",
+            text_col="caption",
+        ).select("id_a", "id_b")
+        edges = edges.unionByName(near_cap)
+    pairs = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return label_propagate(
         base.select(F.col("image_id").alias("id")), pairs
     ).select(F.col("id").alias("image_id"), "group_id")

@@ -51,7 +51,13 @@ from ..operators.assemble import assemble_results
 from ..operators.fetch import run_fetch, with_fetch_order
 from ..operators.politeness import admit, robots_filter
 from ..operators.seen import SeenSet
-from ..schemas import FRONTIER_SCHEMA, PAGE_TYPES, SEEN_SHARDS_SCHEMA
+from ..schemas import (
+    EXHAUSTED_SEEDS_SCHEMA,
+    FRONTIER_SCHEMA,
+    INCOMPLETE_POOL_SCHEMA,
+    PAGE_TYPES,
+    SEEN_SHARDS_SCHEMA,
+)
 from ..sources.iceberg_lite import IcebergLiteTable
 from .rate_control import BudgetTable
 
@@ -124,15 +130,28 @@ class Crawler:
         return os.path.join(self.ckpt_root, f"wave={wave:05d}")
 
     def _write_checkpoint(self, wave: int, frontier: DataFrame, shards: DataFrame,
-                          budgets: BudgetTable, order_offset: int) -> None:
+                          budgets: BudgetTable, order_offset: int,
+                          incomplete: DataFrame | None = None,
+                          exhausted: DataFrame | None = None) -> None:
         d = self._ckpt_dir(wave)
         if os.path.exists(d):
             shutil.rmtree(d)
         frontier.write.parquet(os.path.join(d, "frontier"))
         shards.write.parquet(os.path.join(d, "seen"))
+        # the incomplete-seeds pool + exhausted-seed set ride the
+        # checkpoint so resume is O(pool), not a full pages-table scan
+        # (the pool is bounded by in-flight incomplete seeds; exhausted
+        # by permanently-failed seeds)
+        if incomplete is not None:
+            incomplete.select("seed_index", "page_type", "body").write.parquet(
+                os.path.join(d, "incomplete"))
+        if exhausted is not None:
+            exhausted.write.parquet(os.path.join(d, "exhausted"))
         meta = {
             "wave": wave,
             "order_offset": order_offset,
+            "has_incomplete_pool": incomplete is not None,
+            "has_exhausted": exhausted is not None,
             "budgets": budgets.to_dict(),
             "snapshots": {
                 "pages": self.pages.current_snapshot(),
@@ -155,7 +174,9 @@ class Crawler:
         ]
         return max(waves) if waves else None
 
-    def _load_checkpoint(self, wave: int) -> tuple[DataFrame, DataFrame, BudgetTable, int]:
+    def _load_checkpoint(
+        self, wave: int
+    ) -> tuple[DataFrame, DataFrame, BudgetTable, int, DataFrame | None, DataFrame | None, dict]:
         d = self._ckpt_dir(wave)
         with open(os.path.join(d, "meta.json")) as f:
             meta = json.load(f)
@@ -170,7 +191,19 @@ class Crawler:
         frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
         shards = self.spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
         budgets = BudgetTable.from_dict(meta["budgets"], max_num=float(self.cfg.max_budget))
-        return frontier, shards, budgets, meta["order_offset"]
+        pool = (
+            self.spark.read.schema(INCOMPLETE_POOL_SCHEMA)
+            .parquet(os.path.join(d, "incomplete"))
+            if meta.get("has_incomplete_pool")
+            else None
+        )
+        exhausted = (
+            self.spark.read.schema(EXHAUSTED_SEEDS_SCHEMA)
+            .parquet(os.path.join(d, "exhausted"))
+            if meta.get("has_exhausted")
+            else None
+        )
+        return frontier, shards, budgets, meta["order_offset"], pool, exhausted, meta
 
     def _workdir_dirty(self) -> bool:
         return self.latest_checkpoint() is not None or any(
@@ -214,7 +247,8 @@ class Crawler:
             last = self.latest_checkpoint()
             if last is None:
                 raise RuntimeError("no complete checkpoint to resume from")
-            frontier, shards, budgets, order_offset = self._load_checkpoint(last)
+            (frontier, shards, budgets, order_offset,
+             ckpt_pool, ckpt_exhausted, ckpt_meta) = self._load_checkpoint(last)
             frontier = robots_drop(frontier)
             wave = last + 1
             seeds = spark.read.parquet(seeds_path)
@@ -261,6 +295,7 @@ class Crawler:
         pending_pages: list[DataFrame] = []
         pending_logs: list[DataFrame] = []
         pending_persisted: list[DataFrame] = []
+        pending_exhausted: list[DataFrame] = []
 
         # -------- incremental finalize: incomplete-seeds side pool ----
         # Barrier pages (the 4 PAGE_TYPES) of seeds that have NOT yet
@@ -273,22 +308,57 @@ class Crawler:
         # ANNOUNCE page for it arrives later — the r3 duplicate-results
         # bug). Replaces the per-interval full pages-table scan: cost
         # is O(interval + in-flight partial pages), not O(pages table).
-        # On resume the pool is rebuilt ONCE from the rolled-back pages
-        # table (seeds with < 4 distinct barrier page types).
+        # Seeds with a retry-exhausted page can NEVER pass the barrier
+        # (the page's URL left the frontier without succeeding), so they
+        # are evicted from the pool — otherwise each permanent failure
+        # would pin its partial pages in the per-interval union forever
+        # (r4 verdict item 4). The set is cumulative (a late sibling
+        # page of an exhausted seed must not re-enter the pool) and
+        # bounded by permanently-failed seeds.
+        # On resume the pool + exhausted set are read straight from the
+        # checkpoint (O(pool), no pages-table scan); pre-pool-format
+        # checkpoints fall back to the one-time pages-table rebuild.
         incomplete: DataFrame | None = None
+        exhausted_all: DataFrame | None = None
         if resume:
-            pages_tbl = self.pages.read(spark)
-            if pages_tbl is not None:
-                barrier = pages_tbl.filter(
-                    F.col("page_type").isin(list(PAGE_TYPES))
-                ).select("seed_index", "page_type", "body")
-                partial = (
-                    barrier.groupBy("seed_index")
-                    .agg(F.count_distinct("page_type").alias("npt"))
-                    .filter(F.col("npt") < len(PAGE_TYPES))
-                    .select("seed_index")
+            if "has_incomplete_pool" in ckpt_meta:
+                incomplete = (
+                    ckpt_pool.localCheckpoint() if ckpt_pool is not None else None
                 )
-                incomplete = barrier.join(partial, "seed_index").localCheckpoint()
+                exhausted_all = (
+                    ckpt_exhausted.localCheckpoint()
+                    if ckpt_exhausted is not None else None
+                )
+            else:
+                pages_tbl = self.pages.read(spark)
+                if pages_tbl is not None:
+                    barrier = pages_tbl.filter(
+                        F.col("page_type").isin(list(PAGE_TYPES))
+                    ).select("seed_index", "page_type", "body")
+                    partial = (
+                        barrier.groupBy("seed_index")
+                        .agg(F.count_distinct("page_type").alias("npt"))
+                        .filter(F.col("npt") < len(PAGE_TYPES))
+                        .select("seed_index")
+                    )
+                    incomplete = barrier.join(partial, "seed_index").localCheckpoint()
+
+        def note_exhausted(new_exhausted: DataFrame | None) -> None:
+            """Fold this interval's retry-exhausted seed indexes into the
+            cumulative set and evict their pages from the pool — they can
+            never complete, so without eviction they'd be re-unioned and
+            re-aggregated every interval forever."""
+            nonlocal incomplete, exhausted_all
+            if new_exhausted is None:
+                return
+            exhausted_all = (
+                new_exhausted if exhausted_all is None
+                else exhausted_all.unionByName(new_exhausted)
+            ).distinct().localCheckpoint()
+            if incomplete is not None:
+                incomplete = incomplete.join(
+                    F.broadcast(exhausted_all), "seed_index", "left_anti"
+                ).localCheckpoint()
 
         def finalize_increment(new_pages: DataFrame) -> None:
             """Per-checkpoint-interval finalize: fold this interval's
@@ -303,6 +373,12 @@ class Crawler:
             from ..operators.multimodal import enrich_images
             from ..operators.politeness import with_page_ordinal
 
+            # barrier pages ONLY: discover-mode ANNOUNCE successes carry
+            # the discovering seed's seed_index but are NOT one of the 4
+            # barrier types, so they can never (re-)enter the pool — in
+            # discover runs the pool still drains to zero once every
+            # seed completes or exhausts (tests/test_pool.py
+            # test_pool_drains_in_discover_mode)
             new_barrier = new_pages.filter(
                 F.col("page_type").isin(list(PAGE_TYPES))
             ).select("seed_index", "page_type", "body")
@@ -310,6 +386,12 @@ class Crawler:
                 new_barrier if incomplete is None
                 else incomplete.unionByName(new_barrier)
             )
+            # pages of retry-exhausted seeds never enter (or re-enter)
+            # the pool — see note_exhausted
+            if exhausted_all is not None:
+                pool = pool.join(
+                    F.broadcast(exhausted_all), "seed_index", "left_anti"
+                )
             results_new = assemble_results(pool, seeds)
             self.results.append(results_new)
             # seeds completing this interval (bounded) leave the pool
@@ -330,6 +412,12 @@ class Crawler:
             self.images.append(enrich_images(raw))
 
         def flush_appends() -> None:
+            if pending_exhausted:
+                ex = pending_exhausted[0]
+                for d in pending_exhausted[1:]:
+                    ex = ex.unionByName(d)
+                note_exhausted(ex)
+                pending_exhausted.clear()
             if pending_pages:
                 df = pending_pages[0]
                 for d in pending_pages[1:]:
@@ -581,6 +669,16 @@ class Crawler:
             if n_admitted:
                 order_offset += n_admitted
 
+                # seeds whose page just exhausted its retry budget can
+                # never complete — queue them for pool eviction at the
+                # next flush (lazy, reads the cached fetched frame)
+                if cfg.max_retries is not None:
+                    pending_exhausted.append(
+                        fetched.filter(
+                            (F.col("state") == "FALSE")
+                            & (F.col("retry_count") >= cfg.max_retries)
+                        ).select("seed_index")
+                    )
                 ok = fetched.filter(F.col("state") == "SUCCESS")
                 pending_pages.append(ok.select(
                     "url_hash", "url", "host", "page_type", "seed_index",
@@ -694,7 +792,8 @@ class Crawler:
                 # refill at checkpoint cadence.
                 flush_appends()
                 full = durable_frontier(active_next).repartition(cfg.n_salts, "url_hash")
-                self._write_checkpoint(wave, full, shards, budgets, order_offset)
+                self._write_checkpoint(wave, full, shards, budgets, order_offset,
+                                       incomplete=incomplete, exhausted=exhausted_all)
                 d = self._ckpt_dir(wave)
                 src = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
                 shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
@@ -726,6 +825,7 @@ class Crawler:
                 wave - 1,
                 durable_frontier(active).repartition(cfg.n_salts, "url_hash"),
                 shards, budgets, order_offset,
+                incomplete=incomplete, exhausted=exhausted_all,
             )
         release_caches()
 
@@ -736,4 +836,13 @@ class Crawler:
         results = self.results.read(spark)
         if results is not None:
             stats["results"] = results.count()
+        # pool-boundedness telemetry (both counts are pool-sized actions):
+        # after a crawl drains, every seed is either complete or
+        # retry-exhausted, so the pool must be empty
+        stats["incomplete_pool_rows"] = (
+            incomplete.count() if incomplete is not None else 0
+        )
+        stats["exhausted_seeds"] = (
+            exhausted_all.count() if exhausted_all is not None else 0
+        )
         return stats

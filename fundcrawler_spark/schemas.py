@@ -171,6 +171,24 @@ FETCH_LOG_SCHEMA = T.StructType(
     ]
 )
 
+# ------------------------------------------------- incomplete-seeds pool
+# Barrier pages of seeds that have not yet passed the 4-page barrier —
+# persisted alongside each durable checkpoint so resume is O(pool)
+# instead of a full pages-table scan (wave_loop.finalize_increment).
+INCOMPLETE_POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_index", T.LongType(), False),
+        T.StructField("page_type", T.StringType(), False),
+        T.StructField("body", T.StringType(), True),
+    ]
+)
+
+# Seeds with a retry-exhausted page (can never pass the barrier) —
+# cumulative, bounded by failed seeds; checkpointed with the pool.
+EXHAUSTED_SEEDS_SCHEMA = T.StructType(
+    [T.StructField("seed_index", T.LongType(), False)]
+)
+
 # ---------------------------------------------------------------- pages
 PAGE_TYPES = ["OVERVIEW", "MANAGER", "METRICS", "INCREASE"]
 # Ordinal = reference enum order (data_mining_type.py:8-19); defines the

@@ -32,13 +32,21 @@ OUT = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ab_replay.jsonl"
 
 
 def run_once(side: str, root: str, trial: int) -> dict:
+    # pin the driver heap for BOTH sides: the 48g replay default only
+    # appeared in round 3, and the r2 checkout OOMs at 2600 funds on
+    # the old 8g default — heap size must not be the A/B variable
+    env = dict(os.environ, SPARK_DRIVER_MEM="48g")
     proc = subprocess.run(
         [sys.executable, os.path.join(root, "scripts", "replay_reference.py"),
          str(N_FUNDS)],
-        cwd=root, capture_output=True, text=True, timeout=3600,
+        cwd=root, capture_output=True, text=True, timeout=3600, env=env,
     )
-    line = proc.stdout.strip().splitlines()[-1]
-    rec = json.loads(line)
+    out_lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not out_lines:
+        return {"side": side, "trial": trial, "n_funds": N_FUNDS,
+                "error": True, "rc": proc.returncode,
+                "stderr_tail": proc.stderr.strip().splitlines()[-8:]}
+    rec = json.loads(out_lines[-1])
     rec.update({"side": side, "trial": trial, "n_funds": N_FUNDS})
     return rec
 
@@ -55,14 +63,20 @@ def main() -> None:
                 fh.flush()
         summary = {}
         for side in ("HEAD", "OTHER"):
-            vals = [r["pages_per_sec"] for r in results if r["side"] == side]
+            vals = [r["pages_per_sec"] for r in results
+                    if r["side"] == side and not r.get("error")]
+            if not vals:
+                summary[side] = {"pages_per_sec_all": [], "best": None,
+                                 "median": None}
+                continue
             summary[side] = {
                 "pages_per_sec_all": vals,
                 "best": max(vals),
                 "median": round(statistics.median(vals), 2),
             }
-        summary["ratio_best_HEAD_over_OTHER"] = round(
-            summary["HEAD"]["best"] / summary["OTHER"]["best"], 3)
+        if summary["HEAD"]["best"] and summary["OTHER"]["best"]:
+            summary["ratio_best_HEAD_over_OTHER"] = round(
+                summary["HEAD"]["best"] / summary["OTHER"]["best"], 3)
         print(json.dumps({"summary": summary}), flush=True)
         fh.write(json.dumps({"summary": summary}) + "\n")
 

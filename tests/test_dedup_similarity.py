@@ -318,3 +318,45 @@ def test_lsh_topk_recall_on_perturbed_queries(spark):
            for r in lsh_topk(corpus, qdf, k=3).collect()}
     for vid, _ in base[::7]:
         assert got.get((vid + 50000, 1)) == vid, (vid, got.get((vid + 50000, 1)))
+
+
+def test_crossmodal_caption_neardup_edges_merge_groups(spark):
+    """Caption NEAR-dup edges (MinHash-LSH + exact jaccard verify) in
+    cross-modal dedup: a planted whitespace paraphrase (jaccard 0.914)
+    must merge its pixel-source component with its caption-source
+    component when caption_threshold is on, and must NOT without it —
+    i.e. the edge set genuinely changed, and only for planted pairs
+    (closest organic caption pair sits at 0.882 < 0.9)."""
+    from fundcrawler_spark.entry_queries import q_crossmodal_dedup_groups, _crossmodal_rows
+    from fundcrawler_spark import fixtures as fx
+    from fundcrawler_spark.functions import imaging
+    from fundcrawler_spark.operators.dedup import crossmodal_dup_groups
+    from fundcrawler_spark.operators.multimodal import enrich_images
+
+    rows = fx.image_rows(64)
+    engine_rows = []
+    for i, b, ph, cap in _crossmodal_rows():
+        if b is None:
+            src = rows[int(i.split("_")[2]) * 4 + int(i.split("_")[3])]
+            arr = imaging.decode_image(bytes(src[1]), src[4])
+            b = bytearray(imaging.encode_image(arr, "dctq"))
+        engine_rows.append((i, b, cap))
+    df = spark.createDataFrame(
+        engine_rows, "image_id string, bytes binary, caption string"
+    )
+    enriched = enrich_images(df).localCheckpoint()
+
+    with_near = {
+        r["image_id"]: r["group_id"]
+        for r in crossmodal_dup_groups(enriched, 10, caption_threshold=0.9).collect()
+    }
+    without = {
+        r["image_id"]: r["group_id"]
+        for r in crossmodal_dup_groups(enriched, 10).collect()
+    }
+    for k in range(2):
+        pix_src = rows[8 * k + 2][0]   # para_k shares pixels with this
+        cap_src = rows[8 * k + 6][0]   # ...and a caption paraphrase of this
+        assert with_near[f"para_{k}"] == with_near[pix_src] == with_near[cap_src]
+        assert without[f"para_{k}"] == without[pix_src]
+        assert without[f"para_{k}"] != without[cap_src]
