@@ -89,6 +89,11 @@ class CrawlConfig:
     # refill time / durable checkpoints — steady-state waves are
     # O(active), not O(frontier). 0 disables the split (active = all).
     active_slice_waves: int = 8
+    # optional per-wave telemetry callback: receives one dict per wave
+    # with phase wall times (refill / fetch+agg / discover-dedup /
+    # checkpoint) and flags — used by scripts/bench_backlog.py to
+    # attribute wave-time outliers; None = zero overhead
+    wave_hook: object = None
 
 
 def dedup_backlog_rows(seen: SeenSet, shards: DataFrame, rows: DataFrame,
@@ -360,6 +365,11 @@ class Crawler:
                     F.broadcast(exhausted_all), "seed_index", "left_anti"
                 ).localCheckpoint()
 
+        # fine-grained flush timing for the wave_hook (ckpt_detail);
+        # written by flush_appends/finalize_increment, read at the
+        # durable-checkpoint branch — zero cost beyond a few time() calls
+        flush_detail: dict = {}
+
         def finalize_increment(new_pages: DataFrame) -> None:
             """Per-checkpoint-interval finalize: fold this interval's
             barrier pages into the incomplete-seeds pool, assemble +
@@ -392,8 +402,10 @@ class Crawler:
                 pool = pool.join(
                     F.broadcast(exhausted_all), "seed_index", "left_anti"
                 )
+            t0 = time.time()
             results_new = assemble_results(pool, seeds)
             self.results.append(results_new)
+            t0a = time.time()
             # seeds completing this interval (bounded) leave the pool
             done = (
                 pool.groupBy("seed_index")
@@ -404,12 +416,17 @@ class Crawler:
             incomplete = pool.join(
                 F.broadcast(done), "seed_index", "left_anti"
             ).localCheckpoint()
+            t1 = time.time()
+            flush_detail["flush_assemble_sec"] = round(t0a - t0, 3)
+            flush_detail["flush_pool_evict_sec"] = round(t1 - t0a, 3)
             raw = with_page_ordinal(new_pages).select(
                 F.concat_ws("_", F.lit("img"), "seed_index", "page_ordinal").alias("image_id"),
                 F.col("image_bytes").alias("bytes"),
                 "caption",
             )
             self.images.append(enrich_images(raw))
+            flush_detail["flush_results_sec"] = round(t1 - t0, 3)
+            flush_detail["flush_images_sec"] = round(time.time() - t1, 3)
 
         def flush_appends() -> None:
             if pending_exhausted:
@@ -422,14 +439,18 @@ class Crawler:
                 df = pending_pages[0]
                 for d in pending_pages[1:]:
                     df = df.unionByName(d)
+                t0 = time.time()
                 self.pages.append(df)
+                flush_detail["flush_pages_sec"] = round(time.time() - t0, 3)
                 finalize_increment(df)
                 pending_pages.clear()
             if pending_logs:
                 df = pending_logs[0]
                 for d in pending_logs[1:]:
                     df = df.unionByName(d)
+                t0 = time.time()
                 self.fetch_log.append(df)
+                flush_detail["flush_logs_sec"] = round(time.time() - t0, 3)
                 pending_logs.clear()
 
         def release_caches() -> None:
@@ -606,6 +627,7 @@ class Crawler:
             n_frontier = sum(active_counts.values()) + sum(backlog_total.values())
             if n_frontier == 0:
                 break
+            need: list[str] = []
             if split_enabled:
                 need = [
                     h for h in list(backlog_admittable)
@@ -614,6 +636,7 @@ class Crawler:
                 ]
                 if need:
                     refill(need)
+            t_refill_done = time.time()
             hosts_seen = {
                 h
                 for h in set(active_counts) | set(backlog_total)
@@ -654,6 +677,7 @@ class Crawler:
                 )
                 .collect()
             }
+            t_agg_done = time.time()
             counts = {h: (s, f) for h, (s, f, _) in wave_agg.items()}
             n_admitted = sum(s + f for s, f in counts.values())
             # both stay cached until the buffered appends flush — the
@@ -777,6 +801,8 @@ class Crawler:
                     active_next = active_next.unionByName(disc)
             else:
                 active_next = active
+            t_disc_done = time.time()
+            ckpt_detail: dict = {}
 
             # durable checkpoint every cfg.checkpoint_every waves (and on
             # the final wave, detected next iteration); in between, a
@@ -790,10 +816,17 @@ class Crawler:
                 # format as ever — resume is unchanged); the reloaded
                 # parquet is then re-split, which doubles as a full
                 # refill at checkpoint cadence.
+                t_f0 = time.time()
                 flush_appends()
+                t_f1 = time.time()
                 full = durable_frontier(active_next).repartition(cfg.n_salts, "url_hash")
                 self._write_checkpoint(wave, full, shards, budgets, order_offset,
                                        incomplete=incomplete, exhausted=exhausted_all)
+                t_f2 = time.time()
+                ckpt_detail = {"ckpt_flush_sec": round(t_f1 - t_f0, 3),
+                               "ckpt_write_sec": round(t_f2 - t_f1, 3),
+                               **flush_detail}
+                flush_detail.clear()
                 d = self._ckpt_dir(wave)
                 src = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
                 shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
@@ -815,6 +848,20 @@ class Crawler:
                 # shards (next wave's insert / the durable write) — one
                 # fewer eager job per wave, same bytes
                 shards = shards.localCheckpoint(eager=False)
+            if cfg.wave_hook is not None:
+                t_end = time.time()
+                cfg.wave_hook({
+                    "wave": wave,
+                    "n_admitted": n_admitted,
+                    "refilled_hosts": len(need),
+                    "durable_ckpt": wave % cfg.checkpoint_every == cfg.checkpoint_every - 1,
+                    "refill_sec": round(t_refill_done - t_wave0, 3),
+                    "fetch_agg_sec": round(t_agg_done - t_refill_done, 3),
+                    "discover_sec": round(t_disc_done - t_agg_done, 3),
+                    "checkpoint_sec": round(t_end - t_disc_done, 3),
+                    "wave_sec": round(t_end - t_wave0, 3),
+                    **ckpt_detail,
+                })
             log(f"[crawl] wave={wave} frontier={n_frontier} admitted={n_admitted}")
             wave += 1
 

@@ -33,6 +33,9 @@ BACKLOGS = [int(float(b)) for b in os.environ.get(
 WAVES = int(os.environ.get("WAVES", "10"))
 DISCOVER = os.environ.get("DISCOVER", "0") == "1"
 STATIC = os.environ.get("STATIC", "1") == "1"
+# PHASES=1: per-wave phase breakdown (refill / fetch+agg / discover /
+# checkpoint) + JVM GC delta per wave — attributes wave-time outliers
+PHASES = os.environ.get("PHASES", "0") == "1"
 
 
 def synth_seeds(spark, n_rows: int):
@@ -48,15 +51,30 @@ def synth_seeds(spark, n_rows: int):
     )
 
 
+def _gc_millis(spark) -> int:
+    """Total JVM GC time (ms) across collectors — deltas attribute
+    wave-time outliers to GC pauses."""
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+
 def run_one(spark, n_rows: int, discover: bool) -> dict:
     from fundcrawler_spark.plans.wave_loop import Crawler, CrawlConfig
 
     seeds = synth_seeds(spark, n_rows)
     wd = tempfile.mkdtemp(prefix=f"backlog_{n_rows}_")
     wave_times: list[float] = []
+    phase_rows: list[dict] = []
+    gc_last = [_gc_millis(spark)]
 
     def log(msg):
         wave_times.append(time.time())
+
+    def wave_hook(row: dict) -> None:
+        g = _gc_millis(spark)
+        row["gc_ms"] = g - gc_last[0]
+        gc_last[0] = g
+        phase_rows.append(row)
 
     try:
         cfg = CrawlConfig(
@@ -68,6 +86,7 @@ def run_one(spark, n_rows: int, discover: bool) -> dict:
             checkpoint_every=10 ** 9,    # no mid-run durable checkpoints
             n_shards=64,
             discover=discover,
+            wave_hook=wave_hook if PHASES else None,
         )
         c = Crawler(spark, wd, cfg)
         t0 = time.time()
@@ -82,6 +101,17 @@ def run_one(spark, n_rows: int, discover: bool) -> dict:
             round(b - a, 3) for a, b in zip(wave_times, wave_times[1:])
         ]
         sm = sorted(steady)
+        if PHASES:
+            return {
+                "backlog_rows": n_rows,
+                "discover": discover,
+                "waves": stats["waves"],
+                "build_split_wave0_sec": round(wave_times[0] - t0, 2),
+                "steady_median_sec": sm[len(sm) // 2] if sm else None,
+                "final_checkpoint_sec": round(total - (wave_times[-1] - t0), 2) if wave_times else None,
+                "total_sec": round(total, 2),
+                "wave_phases": phase_rows,
+            }
         return {
             "backlog_rows": n_rows,
             "discover": discover,

@@ -6,6 +6,10 @@ the wave loop with the stub transport, the same AIMD politeness budget
 
 Usage: python scripts/replay_reference.py [n_funds]
 Prints one JSON line {wall_sec, pages, waves, pages_per_sec}.
+PHASES=1 additionally dumps a per-wave phase breakdown (refill /
+fetch+agg / discover / checkpoint wall seconds, cfg.wave_hook) to
+PHASES_OUT (default /tmp/replay_phases.jsonl) — used to attribute
+the r5 A/B-confirmed wave-cost creep to a specific loop phase.
 """
 
 from __future__ import annotations
@@ -35,6 +39,8 @@ def main() -> None:
     spark = get_spark(app_name="replay", cores=cpus, shuffle_partitions=cpus)
     seeds = spark.createDataFrame(fx.seed_rows(N_FUNDS), SEEDS_SCHEMA)
     wd = tempfile.mkdtemp(prefix="replay_")
+    phase_rows: list[dict] = []
+    phases_on = os.environ.get("PHASES", "0") == "1"
     try:
         cfg = CrawlConfig(
             fail_rate=0.0,
@@ -46,6 +52,7 @@ def main() -> None:
             shard_capacity=2_000_000,  # 65,780 keys / 32 shards + margin,
                                        # scaled the same way the 10^10
                                        # point sizes 1024 x 10M
+            wave_hook=phase_rows.append if phases_on else None,
         )
         t0 = time.time()
         stats = Crawler(spark, wd, cfg).run(seeds=seeds, log=lambda *a: None)
@@ -56,6 +63,11 @@ def main() -> None:
             "waves": stats["waves"],
             "pages_per_sec": round(stats["pages_fetched"] / dt, 2),
         }))
+        if phases_on:
+            out = os.environ.get("PHASES_OUT", "/tmp/replay_phases.jsonl")
+            with open(out, "w") as fh:
+                for row in phase_rows:
+                    fh.write(json.dumps(row) + "\n")
     finally:
         shutil.rmtree(wd, ignore_errors=True)
         spark.stop()
