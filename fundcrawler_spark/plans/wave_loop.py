@@ -61,6 +61,12 @@ from ..schemas import (
 from ..sources.iceberg_lite import IcebergLiteTable
 from .rate_control import BudgetTable
 
+# fixed partition count for the materialized incomplete-seeds pool: the
+# pool is row-bounded (in-flight incomplete seeds), so a handful of
+# partitions is enough at any scale, and pinning it stops partition
+# counts compounding across checkpoint intervals (see finalize_increment)
+POOL_PARTITIONS = 8
+
 
 @dataclass
 class CrawlConfig:
@@ -402,7 +408,21 @@ class Crawler:
                 pool = pool.join(
                     F.broadcast(exhausted_all), "seed_index", "left_anti"
                 )
+            # materialize the pool ONCE, at a small fixed partition
+            # count, before the three consumers below (assemble, done
+            # agg, evict anti-join). Without the repartition the pool
+            # inherits the interval union's partitions (waves x shuffle
+            # partitions) AND carries the prior pool's on top, so each
+            # interval's localCheckpoint schedules O(cumulative-interval)
+            # mostly-empty tasks — measured 12.6 s -> 51.3 s across two
+            # checkpoints of an identical-size workload (the r5 A/B
+            # creep); pinning to POOL_PARTITIONS keeps every flush
+            # O(interval). The pool itself is row-bounded (in-flight
+            # incomplete seeds), so 8 partitions hold at any scale.
+            t_mat = time.time()
+            pool = pool.repartition(POOL_PARTITIONS, "seed_index").localCheckpoint()
             t0 = time.time()
+            flush_detail["flush_pool_mat_sec"] = round(t0 - t_mat, 3)
             results_new = assemble_results(pool, seeds)
             self.results.append(results_new)
             t0a = time.time()
@@ -708,14 +728,19 @@ class Crawler:
                     "url_hash", "url", "host", "page_type", "seed_index",
                     "retry_count", "body", "image_bytes", "caption", "wave", "fetch_order",
                 ))
-                # metrics + per-partition lineage + AIMD telemetry
+                # metrics + per-partition lineage + AIMD telemetry.
+                # The per-host telemetry triple is driver-side data; it
+                # attaches as a LITERAL map lookup, not a createDataFrame
+                # + broadcast join — the buffered metrics plans flush
+                # checkpoint_every at a time, and one broadcast per
+                # buffered wave cost ~8 s per flush on its own (r5 A/B
+                # creep audit). Hosts are bounded (the reference crawls
+                # one site; robots/budget tables are driver dicts), but
+                # a >256-host wave falls back to the broadcast join to
+                # keep the literal plan small.
                 tel_rows = [
                     (h, *budgets.telemetry_for(h)) for h in sorted(hosts_seen)
                 ]
-                tel = spark.createDataFrame(
-                    tel_rows,
-                    "host string, fail_rate_w10 double, budget double, threshold double",
-                )
                 wall_ms = (time.time() - t_wave0) * 1000.0
                 metrics = (
                     fetched.withColumn("partition_id", F.spark_partition_id())
@@ -725,12 +750,31 @@ class Crawler:
                         F.count_if(F.col("state") == "SUCCESS").alias("n_success"),
                         F.count_if(F.col("state") == "FALSE").alias("n_fail"),
                     )
-                    .join(F.broadcast(tel), "host", "left")
-                    .withColumn("wall_ms", F.lit(wall_ms))
-                    .select(
-                        "wave", "host", "n_admitted", "n_success", "n_fail",
-                        "fail_rate_w10", "budget", "threshold", "partition_id", "wall_ms",
+                )
+                if len(tel_rows) <= 256:
+                    tel_map = F.create_map(*[
+                        part
+                        for h, fr, bu, th in tel_rows
+                        for part in (
+                            F.lit(h),
+                            F.array(F.lit(float(fr)), F.lit(float(bu)), F.lit(float(th))),
+                        )
+                    ])
+                    metrics = (
+                        metrics.withColumn("_tel", tel_map[F.col("host")])
+                        .withColumn("fail_rate_w10", F.col("_tel")[0])
+                        .withColumn("budget", F.col("_tel")[1])
+                        .withColumn("threshold", F.col("_tel")[2])
                     )
+                else:
+                    tel = spark.createDataFrame(
+                        tel_rows,
+                        "host string, fail_rate_w10 double, budget double, threshold double",
+                    )
+                    metrics = metrics.join(F.broadcast(tel), "host", "left")
+                metrics = metrics.withColumn("wall_ms", F.lit(wall_ms)).select(
+                    "wave", "host", "n_admitted", "n_success", "n_fail",
+                    "fail_rate_w10", "budget", "threshold", "partition_id", "wall_ms",
                 )
                 pending_logs.append(metrics)
 
