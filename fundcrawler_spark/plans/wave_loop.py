@@ -486,6 +486,48 @@ class Crawler:
                 d.unpersist()
             pending_persisted.clear()
 
+        # Seen-shard maintenance is deferred: a wave only APPENDS its
+        # key frame to pending_seen (driver-side list of plans over the
+        # wave's cached fetched/admitted frames — no Spark job, no plan
+        # compile; the r5 phase audit measured ~1.2 s/wave of driver
+        # time for even a LAZY per-wave shards.localCheckpoint, all of
+        # it physical-plan compilation). settle_shards() folds the
+        # buffer into the shards right before anything READS them: the
+        # discovery probe (every wave in discover mode), the refill
+        # dedup, and the durable/final checkpoint writes. In static
+        # mode that is checkpoint cadence only, so the steady-state
+        # wave does zero shard work. Chaining raw insert plans instead
+        # would be exponential: each _mutate level references its
+        # parent twice (untouched anti-join + touched semi-join), so
+        # the fold truncates via localCheckpoint(eager=False) after
+        # every applied op.
+        pending_seen: list[tuple[str, DataFrame]] = []
+
+        def settle_shards() -> None:
+            nonlocal shards
+            if not pending_seen:
+                return
+            if cfg.seen_kind == "bloom":
+                # bloom blobs are bitwise order-independent (an insert
+                # ORs hash positions; n_items adds), so folding all
+                # buffered inserts as ONE batched insert is bit-identical
+                # to the per-wave sequence — one cogroup level and one
+                # plan compile per settle instead of per wave. (bloom
+                # has no delete, so the buffer is inserts only.)
+                df = pending_seen[0][1]
+                for _, d in pending_seen[1:]:
+                    df = df.unionByName(d)
+                shards = self.seen.insert(shards, df).localCheckpoint(eager=False)
+            else:
+                # cuckoo blobs are insertion-order-sensitive (eviction
+                # paths): replay the exact per-wave op sequence — same
+                # kernel batches as the old per-wave path, bit-identical
+                # blobs — truncating after each level
+                for op, d in pending_seen:
+                    fn = self.seen.insert if op == "insert" else self.seen.delete
+                    shards = fn(shards, d).localCheckpoint(eager=False)
+            pending_seen.clear()
+
         # ---- split frontier: ACTIVE slice + static BACKLOG -----------
         # Admission only ever needs each host's top-`budget` rows, so
         # the frontier is held as a small ACTIVE set (per-host top
@@ -584,6 +626,7 @@ class Crawler:
                 for r in moved.groupBy("host").count().collect()
             }
             if cfg.discover:
+                settle_shards()
                 moved = dedup_backlog_rows(
                     self.seen, shards, moved, active
                 ).localCheckpoint()
@@ -620,6 +663,7 @@ class Crawler:
                 return act
             bl = backlog
             if cfg.discover:
+                settle_shards()
                 bl = dedup_backlog_rows(self.seen, shards, bl, act)
             return bl.unionByName(act)
 
@@ -792,13 +836,15 @@ class Crawler:
                         active_counts.pop(h, None)
                     orig_rem_lb[h] = max(orig_rem_lb.get(h, 0) - (s + f), 0)
 
-                # seen-set maintenance
+                # seen-set maintenance: buffer the wave's key frames —
+                # folded into the shards by settle_shards() at the next
+                # shard read
                 if cfg.insert_on == "admission":
-                    shards = self.seen.insert(shards, admitted.select("url_hash"))
+                    pending_seen.append(("insert", admitted.select("url_hash")))
                     fails = fetched.filter(F.col("state") == "FALSE")
-                    shards = self.seen.delete(shards, fails.select("url_hash"))
+                    pending_seen.append(("delete", fails.select("url_hash")))
                 else:
-                    shards = self.seen.insert(shards, ok.select("url_hash"))
+                    pending_seen.append(("insert", ok.select("url_hash")))
 
                 # recursive frontier growth: discovered links enter the
                 # frontier after the dedup triangle — batch-distinct,
@@ -833,6 +879,7 @@ class Crawler:
                     # dropped when the backlog row surfaces
                     # (dedup_backlog_rows at refill / checkpoint)
                     disc = disc.join(active_next.select("url_hash"), "url_hash", "left_anti")
+                    settle_shards()
                     disc = self.seen.probe(shards, disc).filter(~F.col("seen")).drop("seen")
                     # the discovery set is wave-bounded (admitted x links
                     # per page), so counting it is NOT an O(frontier)
@@ -864,6 +911,7 @@ class Crawler:
                 flush_appends()
                 t_f1 = time.time()
                 full = durable_frontier(active_next).repartition(cfg.n_salts, "url_hash")
+                settle_shards()
                 self._write_checkpoint(wave, full, shards, budgets, order_offset,
                                        incomplete=incomplete, exhausted=exhausted_all)
                 t_f2 = time.time()
@@ -886,12 +934,16 @@ class Crawler:
                 }
                 split_frontier(src, total=merged)
             else:
-                active = active_next.repartition(cfg.n_salts, "url_hash").localCheckpoint()
-                # lazy checkpoint: truncates the cogroup lineage but
-                # defers materialization to the next job that reads the
-                # shards (next wave's insert / the durable write) — one
-                # fewer eager job per wave, same bytes
-                shards = shards.localCheckpoint(eager=False)
+                # lazy active checkpoint: truncates lineage but defers
+                # materialization to the next wave's admit/fetch job —
+                # the active slice is control-plane-sized, and its eager
+                # localCheckpoint was a whole driver-synchronous job per
+                # wave (~1.2 s of the 3.6 s steady wave, r5 phase
+                # telemetry). The shards are NOT touched here at all:
+                # their plan chains until settle_shards() at the next
+                # read (even a lazy localCheckpoint compiles a physical
+                # plan per call — another ~1.2 s/wave of driver time).
+                active = active_next.repartition(cfg.n_salts, "url_hash").localCheckpoint(eager=False)
             if cfg.wave_hook is not None:
                 t_end = time.time()
                 cfg.wave_hook({
@@ -912,6 +964,7 @@ class Crawler:
         # final durable checkpoint so the last state is always resumable
         flush_appends()
         if wave > 0 and self.latest_checkpoint() != wave - 1:
+            settle_shards()
             self._write_checkpoint(
                 wave - 1,
                 durable_frontier(active).repartition(cfg.n_salts, "url_hash"),
