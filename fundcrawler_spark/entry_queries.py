@@ -1586,3 +1586,79 @@ def q_crossmodal_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossmodal_dup_groups(
         enrich_images(df), max_hamming=10, caption_threshold=0.9
     )
+
+
+# Image resize plumbing: aspect-preserving box-mean downscale to fit a
+# max side, via mapInPandas over the same deterministic fixture images
+# as images_enrich. The output DIMS are pure integer math on the input
+# dims — w_out = max(1, (w*MAX)//max(w,h)) when max(w,h) > MAX — so the
+# oracle derives them in SQL from the FROZEN committed fixture dims
+# (frozen_phash.py), independent of the runtime kernel; pixel content
+# is covered by pytest invariants (tests/test_multimodal_ops.py).
+_RESIZE_MAX_SIDE = 40
+
+
+def _images_resize_oracle_sql() -> str:
+    from .frozen_phash import FROZEN_IMAGE_META
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', {w}, {h})"
+        for i, w, h, _fmt, _ph in FROZEN_IMAGE_META
+        if not i.startswith("dup_")
+    )
+    m = _RESIZE_MAX_SIDE
+    return f"""
+WITH src(image_id, w0, h0) AS (VALUES
+{values})
+SELECT image_id,
+       CASE WHEN GREATEST(w0, h0) <= {m} THEN w0
+            ELSE GREATEST(1, (w0 * {m}) // GREATEST(w0, h0)) END AS w,
+       CASE WHEN GREATEST(w0, h0) <= {m} THEN h0
+            ELSE GREATEST(1, (h0 * {m}) // GREATEST(w0, h0)) END AS h,
+       'ppm' AS fmt
+FROM src
+"""
+
+
+@register("images_resize", _images_resize_oracle_sql)
+def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import resize_images
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
+    )
+    out = resize_images(df, max_side=_RESIZE_MAX_SIDE)
+    return out.select("image_id", "w", "h", "fmt")
+
+
+# Video frame sampling: VID1 containers (length-prefixed ppm frames —
+# the deterministic stand-in for real codecs, multimodal.py) exploded
+# to every-2nd-frame rows with per-frame dims + phash. The oracle
+# inlines the FROZEN committed (video_id, frame_index, w, h, phash)
+# values (frozen_frames.py, scripts/freeze_frames.py), independent of
+# the runtime parser/codec path.
+def _video_frames_oracle_sql() -> str:
+    from .frozen_frames import FROZEN_FRAME_META
+
+    values = ",\n".join(
+        f"('{_sql_str(v)}', {i}, {w}, {h}, CAST({ph} AS BIGINT))"
+        for v, i, w, h, ph in FROZEN_FRAME_META
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values +
+        ") AS t(video_id, frame_index, w, h, phash)"
+    )
+
+
+@register("video_frame_sample", _video_frames_oracle_sql)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import sample_video_frames
+
+    rows = fx.video_rows(24)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "video_id string, bytes binary"
+    )
+    return sample_video_frames(df, every_k=2)

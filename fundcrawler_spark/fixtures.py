@@ -176,6 +176,32 @@ def image_rows(n: int, fmts: tuple[str, ...] = ("ppm", "bmp", "dctq")):
     return rows
 
 
+def make_video(video_id: str, n_frames: int, w: int, h: int) -> bytes:
+    """Deterministic VID1 container: per-frame ppm payloads derived
+    from make_image with a per-frame id (operators/multimodal.py
+    parse_video is the reader)."""
+    from .functions.imaging import encode_image
+
+    payload = b"VID1" + n_frames.to_bytes(2, "big")
+    for j in range(n_frames):
+        frame = encode_image(make_image(f"{video_id}_f{j}", w, h), "ppm")
+        payload += len(frame).to_bytes(4, "big") + frame
+    return payload
+
+
+def video_rows(n: int) -> list[tuple[str, bytes, int, int, int]]:
+    """(video_id, bytes, n_frames, w, h) rows; frame counts 3..7 and
+    per-video dims vary deterministically."""
+    rows = []
+    for v in range(n):
+        video_id = f"vid_{v}"
+        n_frames = 3 + (v % 5)
+        w = 32 + 8 * (v % 3)
+        h = 32 + 8 * (v % 2)
+        rows.append((video_id, make_video(video_id, n_frames, w, h), n_frames, w, h))
+    return rows
+
+
 # ---------------------------------------------------------------- hosts
 
 EASTMONEY_HOST = "fundf10.eastmoney.com"

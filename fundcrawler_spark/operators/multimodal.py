@@ -76,6 +76,149 @@ def enrich_images(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, max_side: int) -> DataFrame:
+    """(image_id, bytes) -> (image_id, bytes, w, h, fmt) with every
+    image box-mean downscaled to fit ``max_side`` on its longer edge,
+    aspect preserved; images already within bounds pass through
+    re-encoded. Output is always lossless ppm (resize-then-lossy would
+    conflate two degradations).
+
+    The output dims are pure integer math on the input dims —
+    w_out = max(1, (w * max_side) // max(w, h)) when max(w, h) >
+    max_side — so the dims are SQL-oracle-checkable from the frozen
+    fixture metadata; the pixel content is covered by pytest invariants
+    (constant images stay constant; global mean is preserved within
+    rounding; output decodes round-trip).
+
+    Arrow-batched mapInPandas, one Python kernel per batch (the 100-TB
+    shape: decode cost per row, so partition by row count, not bytes —
+    same explicit repartition rationale as enrich_images).
+    """
+    from ..functions import imaging
+
+    def _resize_rgb(arr: np.ndarray, w_out: int, h_out: int) -> np.ndarray:
+        h, w = arr.shape[:2]
+        ys = (np.arange(h_out + 1) * h // h_out).astype(int)
+        xs = (np.arange(w_out + 1) * w // w_out).astype(int)
+        out = np.empty((h_out, w_out, 3))
+        for c in range(3):
+            csum = np.zeros((h + 1, w + 1))
+            csum[1:, 1:] = arr[:, :, c].astype(np.float64).cumsum(0).cumsum(1)
+            for i in range(h_out):
+                y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+                for j in range(w_out):
+                    x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+                    area = (y1 - y0) * (x1 - x0)
+                    out[i, j, c] = (
+                        csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
+                    ) / area
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                data = bytes(blob) if blob is not None else b""
+                fmt = detect_fmt(data) if data else None
+                if fmt is None:
+                    arr, w_out, h_out, payload = None, None, None, None
+                else:
+                    arr = imaging.decode_image(data, fmt)
+                    h, w = arr.shape[:2]
+                    mx = max(w, h)
+                    if mx > max_side:
+                        w_out = max(1, (w * max_side) // mx)
+                        h_out = max(1, (h * max_side) // mx)
+                        arr = _resize_rgb(arr, w_out, h_out)
+                    else:
+                        w_out, h_out = w, h
+                    payload = imaging.encode_image(arr, "ppm")
+                out["image_id"].append(iid)
+                out["bytes"].append(payload)
+                out["w"].append(w_out)
+                out["h"].append(h_out)
+                out["fmt"].append("ppm" if payload is not None else None)
+            o = pd.DataFrame(out)
+            o["w"] = o["w"].astype("Int32")
+            o["h"] = o["h"].astype("Int32")
+            yield o
+
+    spark = df.sparkSession
+    return (
+        df.select("image_id", "bytes")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            kernel,
+            "image_id string, bytes binary, w int, h int, fmt string",
+        )
+    )
+
+
+# ------------------------------------------------------------- video
+# Videos travel as opaque binary columns too. The container here is a
+# deterministic synthetic format (VID1: magic + u16 frame count + u32
+# length-prefixed ppm frames) because real codecs (mp4/h264 via
+# pyav/ffmpeg) are absent in this container — the Spark-side plumbing
+# (schema, batch shape, frame explode, per-frame enrichment) is real
+# and tested, exactly like the jpeg/png decode stub.
+
+VIDEO_MAGIC = b"VID1"
+
+
+def parse_video(data: bytes) -> list[bytes]:
+    """Split a VID1 container into its frame payloads (ppm bytes)."""
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID1 container")
+    n = int.from_bytes(data[4:6], "big")
+    frames, off = [], 6
+    for _ in range(n):
+        ln = int.from_bytes(data[off:off + 4], "big")
+        off += 4
+        frames.append(data[off:off + ln])
+        off += ln
+    return frames
+
+
+def sample_video_frames(df: DataFrame, every_k: int) -> DataFrame:
+    """(video_id, bytes) -> one row per SAMPLED frame (indices 0, k,
+    2k, ...): (video_id, frame_index, w, h, phash). The kernel decodes
+    ONLY the sampled frames (the container is length-prefixed, so
+    skipping is O(1) per frame — the 100-TB shape: frame-sampling must
+    not decode the frames it drops).
+    """
+    from ..functions import imaging
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_index": [], "w": [], "h": [], "phash": []}
+            for vid, blob in zip(pdf["video_id"], pdf["bytes"]):
+                frames = parse_video(bytes(blob))
+                for idx in range(0, len(frames), every_k):
+                    arr = imaging.decode_image(frames[idx], "ppm")
+                    h, w = arr.shape[:2]
+                    out["video_id"].append(vid)
+                    out["frame_index"].append(idx)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["phash"].append(imaging.phash64(arr))
+            o = pd.DataFrame(out)
+            o["frame_index"] = o["frame_index"].astype("Int32")
+            o["w"] = o["w"].astype("Int32")
+            o["h"] = o["h"].astype("Int32")
+            o["phash"] = o["phash"].astype("Int64")
+            yield o
+
+    spark = df.sparkSession
+    return (
+        df.select("video_id", "bytes")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            kernel,
+            "video_id string, frame_index int, w int, h int, phash long",
+        )
+    )
+
+
 def phash_hamming(col_a, col_b):
     """Hamming distance between two 64-bit phashes — JVM-side bit_count
     of xor, no Python (SURVEY.md §2.7)."""

@@ -39,6 +39,8 @@ FAST = [
     "simhash_pairs",
     "phash_near_dup_pairs",
     "images_enrich",
+    "images_resize",
+    "video_frame_sample",
     "crossmodal_dedup_groups",
     "neardup_jaccard",
     "embedding_topk",
