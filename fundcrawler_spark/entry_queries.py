@@ -1662,3 +1662,42 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r[0], r[1]) for r in rows], "video_id string, bytes binary"
     )
     return sample_video_frames(df, every_k=2)
+
+
+# Audio feature extraction: AUD1 PCM containers (magic + rate + int16
+# samples — the deterministic stand-in for wav/flac codecs,
+# functions/audio.py) decoded to (rate, n_samples, duration, rms,
+# zero-crossings) per clip. The oracle inlines the FROZEN committed
+# values (frozen_audio.py, scripts/freeze_audio.py — the feature math
+# is ONE shared function, so the frozen rms is bit-exact float64) and
+# derives duration in SQL from the frozen rate + sample count.
+def _audio_oracle_sql() -> str:
+    from .frozen_audio import FROZEN_AUDIO_META
+
+    # the e0 suffix makes DuckDB parse the literal directly as DOUBLE;
+    # a bare decimal literal parses as DECIMAL first and the
+    # DECIMAL->DOUBLE cast can round the last ULP off the repr
+    values = ",\n".join(
+        f"('{_sql_str(a)}', {r}, {n}, {rms!r}e0, {zc})"
+        for a, r, n, rms, zc in FROZEN_AUDIO_META
+    )
+    return f"""
+WITH m(audio_id, sample_rate, n_samples, rms, zero_crossings) AS (VALUES
+{values})
+SELECT audio_id, sample_rate, n_samples,
+       CAST(n_samples AS DOUBLE) / sample_rate AS duration_s,
+       rms, zero_crossings
+FROM m
+"""
+
+
+@register("audio_features", _audio_oracle_sql)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import audio_features
+
+    rows = fx.audio_rows(32)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "audio_id string, bytes binary"
+    )
+    return audio_features(df)

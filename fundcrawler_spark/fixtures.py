@@ -202,6 +202,35 @@ def video_rows(n: int) -> list[tuple[str, bytes, int, int, int]]:
     return rows
 
 
+def make_audio(audio_id: str, n_samples: int, sample_rate: int) -> bytes:
+    """Deterministic AUD1 PCM payload: two sines + noise seeded from
+    the id (functions/audio.py is the codec)."""
+    from .functions.audio import encode_audio
+
+    rng = np.random.RandomState(zlib.crc32(audio_id.encode()) & 0x7FFFFFFF)
+    t = np.arange(n_samples, dtype=np.float64)
+    f1, f2 = rng.uniform(0.002, 0.05, 2)
+    a1, a2 = rng.uniform(2000, 12000, 2)
+    x = (
+        a1 * np.sin(2 * np.pi * f1 * t)
+        + a2 * np.sin(2 * np.pi * f2 * t)
+        + rng.normal(0, 300, n_samples)
+    )
+    return encode_audio(np.clip(x, -32768, 32767).astype(np.int16), sample_rate)
+
+
+def audio_rows(n: int) -> list[tuple[str, bytes, int, int]]:
+    """(audio_id, bytes, sample_rate, n_samples) rows; rates and
+    lengths vary deterministically."""
+    rows = []
+    for a in range(n):
+        audio_id = f"aud_{a}"
+        rate = (8000, 16000, 22050)[a % 3]
+        n_samples = 1000 + 500 * (a % 4)
+        rows.append((audio_id, make_audio(audio_id, n_samples, rate), rate, n_samples))
+    return rows
+
+
 # ---------------------------------------------------------------- hosts
 
 EASTMONEY_HOST = "fundf10.eastmoney.com"

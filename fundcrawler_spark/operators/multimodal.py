@@ -219,6 +219,47 @@ def sample_video_frames(df: DataFrame, every_k: int) -> DataFrame:
     )
 
 
+def audio_features(df: DataFrame) -> DataFrame:
+    """(audio_id, bytes) -> (audio_id, sample_rate, n_samples,
+    duration_s, rms, zero_crossings): decode the AUD1 PCM payload and
+    compute the features with the SHARED float64 math
+    (functions/audio.pcm_features — also the frozen-oracle generator,
+    so the oracle values are bit-exact by construction). Arrow-batched
+    mapInPandas, same row-count partitioning rationale as the image
+    kernels."""
+    from ..functions.audio import decode_audio, pcm_features
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "sample_rate": [], "n_samples": [],
+                   "duration_s": [], "rms": [], "zero_crossings": []}
+            for aid, blob in zip(pdf["audio_id"], pdf["bytes"]):
+                samples, rate = decode_audio(bytes(blob))
+                rms, zc = pcm_features(samples)
+                out["audio_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_s"].append(len(samples) / rate)
+                out["rms"].append(rms)
+                out["zero_crossings"].append(zc)
+            o = pd.DataFrame(out)
+            o["sample_rate"] = o["sample_rate"].astype("Int32")
+            o["n_samples"] = o["n_samples"].astype("Int32")
+            o["zero_crossings"] = o["zero_crossings"].astype("Int32")
+            yield o
+
+    spark = df.sparkSession
+    return (
+        df.select("audio_id", "bytes")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            kernel,
+            "audio_id string, sample_rate int, n_samples int, "
+            "duration_s double, rms double, zero_crossings int",
+        )
+    )
+
+
 def phash_hamming(col_a, col_b):
     """Hamming distance between two 64-bit phashes — JVM-side bit_count
     of xor, no Python (SURVEY.md §2.7)."""

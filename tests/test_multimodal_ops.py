@@ -129,3 +129,44 @@ def test_sample_every_k_indices():
         frames = parse_video(blob)
         idxs = list(range(0, len(frames), 3))
         assert idxs == [i for i in range(n_frames) if i % 3 == 0]
+
+
+# -------------------------------------------------------------- audio
+
+
+def test_aud1_roundtrip_and_features():
+    from fundcrawler_spark.functions.audio import decode_audio, pcm_features
+
+    audio_id, blob, rate, n = fx.audio_rows(5)[4]
+    samples, r = decode_audio(blob)
+    assert (r, len(samples)) == (rate, n)
+    rms, zc = pcm_features(samples)
+    assert rms > 0 and 0 < zc < n
+    # hand-check on a known signal: alternating +-1 crosses every step
+    alt = np.array([1, -1] * 50, dtype=np.int16)
+    rms2, zc2 = pcm_features(alt)
+    assert rms2 == 1.0 and zc2 == 99
+
+
+def test_frozen_audio_fixture_reproduced():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from freeze_audio import compute_entries
+
+    from fundcrawler_spark.frozen_audio import FROZEN_AUDIO_META
+
+    assert compute_entries() == FROZEN_AUDIO_META
+
+
+def test_audio_features_spark_matches_frozen(spark):
+    from fundcrawler_spark.frozen_audio import FROZEN_AUDIO_META
+    from fundcrawler_spark.operators.multimodal import audio_features
+
+    rows = fx.audio_rows(32)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "audio_id string, bytes binary"
+    )
+    got = {
+        r["audio_id"]: (r["sample_rate"], r["n_samples"], r["rms"], r["zero_crossings"])
+        for r in audio_features(df).collect()
+    }
+    assert got == {a: (r, n, rms, zc) for a, r, n, rms, zc in FROZEN_AUDIO_META}

@@ -41,6 +41,7 @@ FAST = [
     "images_enrich",
     "images_resize",
     "video_frame_sample",
+    "audio_features",
     "crossmodal_dedup_groups",
     "neardup_jaccard",
     "embedding_topk",
