@@ -217,17 +217,32 @@ def admit(frontier: DataFrame, budgets: dict[str, int], max_budget: int,
     before any shuffle.
     """
     spark = frontier.sparkSession
-    b_items = [(h, int(b)) for h, b in budgets.items()]
-    bdf = spark.createDataFrame(b_items, "host string, budget int") if b_items else None
+    b_items = [(h, int(b)) for h, b in budgets.items() if int(b) > 0]
     slim = with_page_ordinal(
         frontier.select("host", "retry_count", "priority", "seed_index",
                         "page_type", "url_hash")
     ).drop("page_type")
-    if bdf is not None:
-        slim = slim.join(F.broadcast(bdf), "host", "left").na.fill({"budget": 0})
+    if not b_items:
+        slim = slim.withColumn("budget", F.lit(0)).filter(F.col("budget") > 0)
+    elif len(b_items) <= 256:
+        # bounded host set (the common case: budgets is a driver dict)
+        # attaches as a LITERAL map lookup — no per-wave createDataFrame
+        # + broadcast-exchange job in the plan; absent host = NULL = the
+        # old budget-0 drop
+        bmap = F.create_map(*[
+            part for h, b in b_items for part in (F.lit(h), F.lit(b))
+        ])
+        slim = (
+            slim.withColumn("budget", bmap[F.col("host")])
+            .filter(F.col("budget").isNotNull())
+        )
     else:
-        slim = slim.withColumn("budget", F.lit(0))
-    slim = slim.filter(F.col("budget") > 0)
+        bdf = spark.createDataFrame(b_items, "host string, budget int")
+        slim = (
+            slim.join(F.broadcast(bdf), "host", "left")
+            .na.fill({"budget": 0})
+            .filter(F.col("budget") > 0)
+        )
     # plan choice: below ~250k candidates the salted pre-phase costs
     # more in stages than the skew it prevents — one exact window is
     # cheaper and rank-identical (the wave loop passes its frontier

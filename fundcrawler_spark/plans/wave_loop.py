@@ -722,7 +722,8 @@ class Crawler:
             admitted.persist()
 
             fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts,
-                                wave=wave, discover=cfg.discover)
+                                wave=wave, discover=cfg.discover,
+                                expected_rows=sum(wave_budgets.values()))
             fetched = with_fetch_order(fetched, admitted, order_offset)
             fetched.persist()
             # one collect yields the AIMD observation (s, f) AND the

@@ -116,6 +116,9 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("fetch_order", T.LongType(), False),
         # URLs discovered in the page (recursive frontier growth)
         T.StructField("links", T.ArrayType(T.StringType()), True),
+        # admission rank (politeness.admit) passed through the kernel so
+        # the crawl-order window needs no broadcast re-join per wave
+        T.StructField("host_rank", T.IntegerType(), False),
     ]
 )
 

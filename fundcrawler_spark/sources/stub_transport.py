@@ -128,6 +128,13 @@ def fetch_pandas_batch(pdf: pd.DataFrame, fail_rate: float, max_fail_attempts: i
             "wave": pdf["wave"].to_numpy(),
             "fetch_order": np.zeros(n, dtype=np.int64),
             "links": links,
+            # admission-rank passthrough (crawl-order window input);
+            # callers that fetch outside the admit path have no rank
+            "host_rank": (
+                pdf["host_rank"].to_numpy().astype(np.int32)
+                if "host_rank" in pdf.columns
+                else np.zeros(n, dtype=np.int32)
+            ),
         }
     )
     return out
