@@ -244,8 +244,19 @@ class SeenSet:
     # shuffling the (frontier-sized) candidate set into a cogroup
     BROADCAST_PROBE_BYTES = 512 * 1024 * 1024
 
+    def broadcast_blobs(self, shards: DataFrame):
+        """Collect + broadcast the shard blobs once; pass the handle to
+        ``probe(bc=...)`` to amortize the driver-side collect across many
+        probes of the SAME settled shards (the wave loop probes identical
+        shards every discover wave between settles). Caller owns the
+        broadcast lifetime (unpersist when the shards change)."""
+        blob_map = {
+            r["shard_id"]: (r["kind"], bytes(r["blob"])) for r in shards.collect()
+        }
+        return self.spark.sparkContext.broadcast(blob_map)
+
     def probe(self, shards: DataFrame, candidates: DataFrame,
-              mode: str = "auto") -> DataFrame:
+              mode: str = "auto", bc=None) -> DataFrame:
         """candidates(+url_hash) -> same rows + boolean ``seen``.
 
         Two physical strategies (same result):
@@ -255,7 +266,12 @@ class SeenSet:
           * cogroup: shuffle candidates by shard_id, join each slice
             with its blob — the 10^10-key path (12 GB of blobs never
             ships anywhere whole).
+
+        ``bc``: pre-collected blob broadcast from :meth:`broadcast_blobs`
+        — forces the broadcast strategy with no per-call collect.
         """
+        if bc is not None:
+            return self._probe_broadcast(shards, candidates, bc=bc)
         if mode == "auto":
             total = shards.select(F.sum(F.length("blob")).alias("b")).first()["b"] or 0
             mode = "broadcast" if total <= self.BROADCAST_PROBE_BYTES else "cogroup"
@@ -263,14 +279,13 @@ class SeenSet:
             return self._probe_broadcast(shards, candidates)
         return self._probe_cogroup(shards, candidates)
 
-    def _probe_broadcast(self, shards: DataFrame, candidates: DataFrame) -> DataFrame:
+    def _probe_broadcast(self, shards: DataFrame, candidates: DataFrame,
+                         bc=None) -> DataFrame:
         from pyspark.sql import types as T
 
         n_shards = self.n_shards
-        blob_map = {
-            r["shard_id"]: (r["kind"], bytes(r["blob"])) for r in shards.collect()
-        }
-        bc = candidates.sparkSession.sparkContext.broadcast(blob_map)
+        if bc is None:
+            bc = self.broadcast_blobs(shards)
         out_schema = T.StructType(
             list(candidates.schema.fields) + [T.StructField("seen", T.BooleanType())]
         )

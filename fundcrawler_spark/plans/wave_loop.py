@@ -502,11 +502,21 @@ class Crawler:
         # the fold truncates via localCheckpoint(eager=False) after
         # every applied op.
         pending_seen: list[tuple[str, DataFrame]] = []
+        # blob broadcast of the LAST-SETTLED shards (bloom discover fast
+        # path) — invalidated whenever the shards change
+        settled_bc = None
+
+        def invalidate_settled_bc() -> None:
+            nonlocal settled_bc
+            if settled_bc is not None:
+                settled_bc.unpersist()
+                settled_bc = None
 
         def settle_shards() -> None:
             nonlocal shards
             if not pending_seen:
                 return
+            invalidate_settled_bc()
             if cfg.seen_kind == "bloom":
                 # bloom blobs are bitwise order-independent (an insert
                 # ORs hash positions; n_items adds), so folding all
@@ -527,6 +537,44 @@ class Crawler:
                     fn = self.seen.insert if op == "insert" else self.seen.delete
                     shards = fn(shards, d).localCheckpoint(eager=False)
             pending_seen.clear()
+
+        def probe_unfetched(rows: DataFrame) -> DataFrame:
+            """``rows`` minus already-fetched URLs — the per-wave
+            discover dedup. Bloom fast path: probe the LAST-SETTLED
+            shards (blobs collected + broadcast ONCE per settle, reused
+            every wave) and anti-join the buffered insert keys exactly
+            (wave-bounded, broadcast) — so the steady discover wave does
+            ZERO shard cogroups instead of two (settle-fold + probe),
+            and the blobs still materialize bit-identically at the next
+            settle (refill / durable checkpoint). Exactness: seen =
+            settled ∪ buffered, and the exact anti-join has strictly
+            fewer false positives than probing the folded bloom. Cuckoo
+            buffers carry deletes (order-sensitive), so that path
+            settles first, as before."""
+            nonlocal settled_bc
+            if cfg.seen_kind != "bloom":
+                settle_shards()
+                return self.seen.probe(shards, rows).filter(~F.col("seen")).drop("seen")
+            if settled_bc is None:
+                total = (
+                    shards.select(F.sum(F.length("blob")).alias("b")).first()["b"]
+                    or 0
+                )
+                if total <= self.seen.BROADCAST_PROBE_BYTES:
+                    settled_bc = self.seen.broadcast_blobs(shards)
+            if settled_bc is not None:
+                out = self.seen.probe(shards, rows, bc=settled_bc)
+            else:
+                out = self.seen.probe(shards, rows, mode="cogroup")
+            out = out.filter(~F.col("seen")).drop("seen")
+            if pending_seen:
+                keys = pending_seen[0][1]
+                for _, d in pending_seen[1:]:
+                    keys = keys.unionByName(d)
+                out = out.join(
+                    F.broadcast(keys.distinct()), "url_hash", "left_anti"
+                )
+            return out
 
         # ---- split frontier: ACTIVE slice + static BACKLOG -----------
         # Admission only ever needs each host's top-`budget` rows, so
@@ -880,8 +928,7 @@ class Crawler:
                     # dropped when the backlog row surfaces
                     # (dedup_backlog_rows at refill / checkpoint)
                     disc = disc.join(active_next.select("url_hash"), "url_hash", "left_anti")
-                    settle_shards()
-                    disc = self.seen.probe(shards, disc).filter(~F.col("seen")).drop("seen")
+                    disc = probe_unfetched(disc)
                     # the discovery set is wave-bounded (admitted x links
                     # per page), so counting it is NOT an O(frontier)
                     # scan; cached so the count and the union share one
@@ -923,6 +970,7 @@ class Crawler:
                 d = self._ckpt_dir(wave)
                 src = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "frontier"))
                 shards = spark.read.schema(SEEN_SHARDS_SCHEMA).parquet(os.path.join(d, "seen"))
+                invalidate_settled_bc()
                 release_caches()
                 src = src.persist()
                 pending_persisted.append(src)

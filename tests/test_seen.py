@@ -108,3 +108,45 @@ def test_untouched_shards_pass_through_verbatim(spark):
     before = {r["shard_id"]: bytes(r["blob"]) for r in rows}
     assert out[0] == bytes(before[0]) and out[2] == bytes(before[2])
     assert out[1] != bytes(before[1])              # touched shard rewritten
+
+
+def test_probe_with_broadcast_blob_reuse(spark):
+    """probe(bc=...) with a pre-collected blob broadcast must equal the
+    plain probe — the wave loop reuses one broadcast across every
+    discover wave between settles instead of re-collecting the blobs."""
+    ss = SeenSet(spark, n_shards=4, capacity_per_shard=10_000)
+    keys = spark.range(0, 300).select((F.col("id") * 37 - 11).alias("url_hash"))
+    shards = ss.insert(ss.empty_shards(), keys)
+    cand = spark.range(0, 600).select((F.col("id") * 37 - 11).alias("url_hash"))
+    base = {r["url_hash"]: r["seen"] for r in ss.probe(shards, cand).collect()}
+    bc = ss.broadcast_blobs(shards)
+    fast = {r["url_hash"]: r["seen"] for r in ss.probe(shards, cand, bc=bc).collect()}
+    assert fast == base
+    assert sum(base.values()) == 300
+
+
+def test_stale_probe_plus_buffered_keys_equals_settled_probe(spark):
+    """The discover fast path: probing the LAST-SETTLED shards and
+    anti-joining the buffered (not-yet-folded) insert keys exactly must
+    leave the same unseen set as folding the buffer first and probing
+    the settled result (bloom FP-free at this size)."""
+    ss = SeenSet(spark, n_shards=4, capacity_per_shard=10_000)
+    settled_keys = spark.range(0, 200).select((F.col("id") * 13).alias("url_hash"))
+    shards = ss.insert(ss.empty_shards(), settled_keys)
+    buffered = spark.range(100, 350).select((F.col("id") * 13).alias("url_hash"))
+    cand = spark.range(0, 500).select((F.col("id") * 13).alias("url_hash"))
+
+    folded = ss.insert(shards, buffered)
+    want = {
+        r["url_hash"]
+        for r in ss.probe(folded, cand).filter(~F.col("seen")).collect()
+    }
+    stale = ss.probe(shards, cand).filter(~F.col("seen")).drop("seen")
+    got = {
+        r["url_hash"]
+        for r in stale.join(
+            F.broadcast(buffered.distinct()), "url_hash", "left_anti"
+        ).collect()
+    }
+    assert got == want
+    assert len(want) == 150  # ids 350..499 * 13
