@@ -55,3 +55,58 @@ def test_bloom_shard_at_ten_million_keys():
     fpr = b.contains(probe).mean()  # inserted 10% of capacity -> fpr << 1%
     assert fpr < 0.01
     assert dt < 30, f"1M insert+probe took {dt:.1f}s"
+
+
+def test_fetch_fanout_sized_by_expected_rows(spark):
+    """A budget-bounded wave must not schedule a 4x-cores fan-out of
+    mostly-empty Python tasks: with expected_rows=160 the fetch stage
+    runs ceil(160/5)=32 partitions (and still spreads the single host),
+    while the unsized default stays at 4x defaultParallelism."""
+    seeds = spark.createDataFrame(fx.seed_rows(500), SEEDS_SCHEMA)
+    frontier = seeds_to_frontier(seeds)
+    admitted = admit(frontier, {"fundf10.eastmoney.com": 160}, 160)
+    sized = run_fetch(admitted, fail_rate=0.0, wave=0, expected_rows=160)
+    n_parts = sized.rdd.getNumPartitions()
+    assert n_parts == 32, n_parts
+    rows_sized = {r["url_hash"] for r in sized.collect()}
+    rows_default = {
+        r["url_hash"] for r in run_fetch(admitted, fail_rate=0.0, wave=0).collect()
+    }
+    assert rows_sized == rows_default and len(rows_sized) == 160
+
+
+def test_admit_literal_map_equals_broadcast_join(spark):
+    """admit() attaches budgets as a literal create_map below 256 hosts
+    and as a broadcast join above; both plans must admit the same set.
+    Forced here by synthesizing >256 hosts (multi-site frontier)."""
+    from fundcrawler_spark.functions.urlnorm import host_salt, url_hash
+
+    n_hosts = 300
+    fr = (
+        spark.range(n_hosts * 8)
+        .select(
+            F.concat(F.lit("http://h"), (F.col("id") % n_hosts).cast("string"),
+                     F.lit(".example.com/p"), F.col("id").cast("string")).alias("url"),
+            F.concat(F.lit("h"), (F.col("id") % n_hosts).cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.lit("OVERVIEW").alias("page_type"),
+            F.col("id").cast("long").alias("seed_index"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.col("id").cast("long").alias("priority"),
+            F.lit(0).cast("int").alias("wave"),
+        )
+        .withColumn("url_norm", F.col("url"))
+        .withColumn("url_hash", url_hash(F.col("url_norm")))
+        .withColumn("host_salt", host_salt(F.col("host"), 32, F.col("url_norm")))
+    )
+    budgets_all = {f"h{i}.example.com": (3 if i % 2 else 0) for i in range(n_hosts)}
+    big = admit(fr, budgets_all, 3)                     # >256 -> broadcast join
+    few_hosts = {f"h{i}.example.com" for i in range(100)}
+    budgets_few = {h: b for h, b in budgets_all.items() if h in few_hosts}
+    small = admit(fr.filter(F.col("host").isin(list(few_hosts))), budgets_few, 3)
+    got_big = {(r["host"], r["url_hash"]) for r in big.collect()}
+    got_small = {(r["host"], r["url_hash"]) for r in small.collect()}
+    # the literal-map plan must agree with the join plan on their
+    # common hosts, and zero-budget hosts admit nothing in either
+    assert got_small == {t for t in got_big if t[0] in few_hosts}
+    assert all(int(h[1:].split(".")[0]) % 2 for h, _ in got_big)
