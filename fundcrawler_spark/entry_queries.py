@@ -1263,9 +1263,49 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(_t(spark, sf_dir, "documents"), threshold=0.85)
 
 
+# Approximate-ANN oracles: the candidate generation of both ANN paths
+# is deterministic (splitmix64 sign planes / id-ordered codebook
+# sample), so the sf0.01 candidate pair sets are FROZEN
+# (frozen_ann.py, scripts/freeze_ann.py — reproduction pytest in
+# tests/test_dedup_similarity.py) and the oracle is an exact SQL
+# replay: score the frozen candidates with DuckDB list math, rank with
+# the same (sim DESC, neighbor_id ASC) tie-break. Same pattern as
+# frozen_phash (r5 verdict item 1).
+def _ann_oracle_sql(pairs) -> str:
+    values = ",".join(f"({q},{n})" for q, n in pairs)
+    return f"""
+WITH cand(query_id, neighbor_id) AS (VALUES {values}),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+s AS (SELECT c.query_id, c.neighbor_id,
+        list_dot_product(q.ve, n.ve)
+          / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(n.ve, n.ve))) AS sim
+      FROM cand c JOIN v q ON q.vec_id = c.query_id
+                  JOIN v n ON n.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+@functools.lru_cache(maxsize=1)
+def _ann_ivf_oracle_sql() -> str:
+    from .frozen_ann import FROZEN_IVF_CANDIDATES
+
+    return _ann_oracle_sql(FROZEN_IVF_CANDIDATES)
+
+
+@functools.lru_cache(maxsize=1)
+def _ann_lsh_oracle_sql() -> str:
+    from .frozen_ann import FROZEN_LSH_CANDIDATES
+
+    return _ann_oracle_sql(FROZEN_LSH_CANDIDATES)
+
+
 # IVF approximate nearest neighbors (coarse-quantizer scale path; the
 # exact brute-force variant is oracle-checked as embedding_topk).
-@register("embedding_ann_ivf", None)
+@register("embedding_ann_ivf", _ann_ivf_oracle_sql)
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
@@ -1462,8 +1502,9 @@ def q_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # LSH-bucketed approximate nearest neighbors (the ANN scale path; the
-# exact brute-force variant is oracle-checked as embedding_topk).
-@register("embedding_ann_lsh", None)
+# exact brute-force variant is oracle-checked as embedding_topk;
+# candidate set frozen for the oracle — see _ann_oracle_sql above).
+@register("embedding_ann_lsh", _ann_lsh_oracle_sql)
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
 
@@ -1674,11 +1715,12 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _audio_oracle_sql() -> str:
     from .frozen_audio import FROZEN_AUDIO_META
 
-    # the e0 suffix makes DuckDB parse the literal directly as DOUBLE;
-    # a bare decimal literal parses as DECIMAL first and the
-    # DECIMAL->DOUBLE cast can round the last ULP off the repr
+    # string->DOUBLE parses the repr directly without a DECIMAL
+    # intermediate (which can round the last ULP), and survives
+    # exponent-form reprs like '1e-05' where a bare 'e0' suffix would
+    # produce invalid SQL
     values = ",\n".join(
-        f"('{_sql_str(a)}', {r}, {n}, {rms!r}e0, {zc})"
+        f"('{_sql_str(a)}', {r}, {n}, CAST('{rms!r}' AS DOUBLE), {zc})"
         for a, r, n, rms, zc in FROZEN_AUDIO_META
     )
     return f"""

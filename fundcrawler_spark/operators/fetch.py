@@ -16,7 +16,7 @@ touching the plan.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import FETCHED_SCHEMA
@@ -82,31 +82,74 @@ def run_fetch(
         .groupBy("host", "fetch_salt")
         .applyInPandas(fn, FETCHED_SCHEMA)
     )
+    if "host_rank" not in admitted.columns:
+        # stub_transport zero-fills host_rank when the input lacks ranks;
+        # a zero-filled rank column would make with_fetch_order silently
+        # nondeterministic, so drop it and let the order step fail loudly
+        fetched = fetched.drop("host_rank")
     if wave is not None:
         fetched = fetched.withColumn("wave", F.lit(wave).cast("int"))
     return fetched
 
 
-def with_fetch_order(fetched: DataFrame, admitted_ranks: DataFrame, order_offset: int) -> DataFrame:
+def with_fetch_order(fetched: DataFrame, host_counts: dict[str, int],
+                     order_offset: int) -> DataFrame:
     """Assign the deterministic global crawl order: (host ASC, host_rank
     ASC) within the wave, continuing from ``order_offset``.
 
-    The per-wave admitted set is budget-bounded (<= hosts x max_budget
-    rows), so the single-partition ordering window is over a tiny set —
-    this is control-plane-sized data, not the frontier.
+    ``host_counts`` is the exact per-host admitted count for THIS wave —
+    the wave loop already collects it for the AIMD observation, so the
+    driver derives each host's prefix-sum offset (hosts sorted ASC; they
+    are ASCII hostnames, so Python's sort matches Spark's binary string
+    order) and attaches ``fetch_order = offset[host] + host_rank`` as a
+    literal map lookup. ``host_rank`` is admit()'s dense 1-based
+    row_number per host, so this is the SAME total order as a global
+    row_number window over (host ASC, host_rank ASC) — with zero
+    shuffles and no single-partition WindowExec (which would serialize
+    every wave's admitted set through one reducer as hosts grow).
 
-    When ``fetched`` already carries ``host_rank`` (run_fetch passes it
-    through the kernel), the window reads it directly; otherwise the
-    ranks are broadcast-joined back from ``admitted_ranks``.
+    Rank validity is enforced in-plan: a non-positive host_rank (e.g. a
+    caller that fetched unranked rows) raises instead of silently
+    producing a nondeterministic order. Hosts beyond 256 fall back to a
+    broadcast join to keep the literal plan small (same rule as the
+    wave loop's telemetry attach).
     """
-    if "host_rank" in fetched.columns:
-        ranked = fetched
+    if "host_rank" not in fetched.columns:
+        raise ValueError(
+            "with_fetch_order requires admission ranks: fetch the rows "
+            "through politeness.admit (host_rank) before ordering"
+        )
+    offsets: dict[str, int] = {}
+    running = int(order_offset)
+    for h in sorted(host_counts):
+        offsets[h] = running
+        running += int(host_counts[h])
+    rank = F.when(
+        F.col("host_rank") < 1,
+        F.raise_error(F.concat(
+            F.lit("with_fetch_order: non-positive host_rank for url_hash="),
+            F.col("url_hash").cast("string"),
+        )).cast("int"),
+    ).otherwise(F.col("host_rank"))
+    if not offsets:
+        off = F.lit(None).cast("long")
+    elif len(offsets) <= 256:
+        omap = F.create_map(*[
+            part for h, o in offsets.items() for part in (F.lit(h), F.lit(o))
+        ])
+        off = omap[F.col("host")]
     else:
-        ranks = admitted_ranks.select("url_hash", "host_rank")
-        ranked = fetched.join(F.broadcast(ranks), "url_hash")
-    w = Window.orderBy(F.col("host").asc(), F.col("host_rank").asc())
+        odf = fetched.sparkSession.createDataFrame(
+            list(offsets.items()), "host string, __order_base long"
+        )
+        return (
+            fetched.join(F.broadcast(odf), "host", "left")
+            .withColumn("fetch_order",
+                        F.col("__order_base") + rank.cast("long"))
+            .drop("__order_base", "host_rank")
+        )
     return (
-        ranked
-        .withColumn("fetch_order", F.row_number().over(w) + F.lit(order_offset))
+        fetched
+        .withColumn("fetch_order", off + rank.cast("long"))
         .drop("host_rank")
     )

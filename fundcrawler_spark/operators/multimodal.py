@@ -76,6 +76,45 @@ def enrich_images(df: DataFrame) -> DataFrame:
     )
 
 
+def _resize_rgb(arr: np.ndarray, w_out: int, h_out: int) -> np.ndarray:
+    """Fully vectorized box-mean resize (r5 verdict item 2 — the former
+    per-output-pixel Python double loop was the dominant CPU on a
+    100-TB image corpus; micro-bench 4000x3000->512: loop 3.07 s,
+    np.ix_ integral image 1.93 s, reduceat 1.70 s with no (h+1)x(w+1)
+    float64 temp).
+
+    BIT-IDENTICAL to the original loop (pinned by
+    tests/test_kernel_equivalence.py): every box sum is a sum of uint8
+    pixels (< 2^53), so the float64 integral-image differences, the
+    int64 reduceat segment sums, and the loop's scalar (a-b-c+d) all
+    produce the same exact integer before the same /area division.
+
+    Strict downscale (the only path resize_images takes, since
+    max(w,h) > max_side implies out <= in on both axes) uses
+    np.add.reduceat segment sums; degenerate/upscale geometries (unit
+    boxes can overlap) fall back to integral-image fancy indexing."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(h_out + 1) * h // h_out).astype(int)
+    xs = (np.arange(w_out + 1) * w // w_out).astype(int)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    areas = np.outer(y1 - y0, x1 - x0)
+    if (ys[1:] > ys[:-1]).all() and (xs[1:] > xs[:-1]).all():
+        s1 = np.add.reduceat(arr.astype(np.int64), y0, axis=0)
+        s2 = np.add.reduceat(s1, x0, axis=1)
+        out = s2 / areas[:, :, None]
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    out = np.empty((h_out, w_out, 3))
+    for c in range(3):
+        csum = np.zeros((h + 1, w + 1))
+        csum[1:, 1:] = arr[:, :, c].astype(np.float64).cumsum(0).cumsum(1)
+        out[:, :, c] = (
+            csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)]
+            - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]
+        ) / areas
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def resize_images(df: DataFrame, max_side: int) -> DataFrame:
     """(image_id, bytes) -> (image_id, bytes, w, h, fmt) with every
     image box-mean downscaled to fit ``max_side`` on its longer edge,
@@ -95,24 +134,6 @@ def resize_images(df: DataFrame, max_side: int) -> DataFrame:
     same explicit repartition rationale as enrich_images).
     """
     from ..functions import imaging
-
-    def _resize_rgb(arr: np.ndarray, w_out: int, h_out: int) -> np.ndarray:
-        h, w = arr.shape[:2]
-        ys = (np.arange(h_out + 1) * h // h_out).astype(int)
-        xs = (np.arange(w_out + 1) * w // w_out).astype(int)
-        out = np.empty((h_out, w_out, 3))
-        for c in range(3):
-            csum = np.zeros((h + 1, w + 1))
-            csum[1:, 1:] = arr[:, :, c].astype(np.float64).cumsum(0).cumsum(1)
-            for i in range(h_out):
-                y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-                for j in range(w_out):
-                    x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-                    area = (y1 - y0) * (x1 - x0)
-                    out[i, j, c] = (
-                        csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-                    ) / area
-        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

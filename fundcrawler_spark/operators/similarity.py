@@ -36,6 +36,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_scored(pairs: DataFrame, a_col: str, b_col: str,
+                  keep: list[tuple[str, str]]) -> DataFrame:
+    """Score candidate pairs with a vectorized numpy kernel instead of
+    interpreted ``aggregate``/``zip_with`` HOFs (r5 verdict item 4 —
+    Spark HOFs are not codegen'd, and the verify stage dominates when
+    candidate sets are large). BIT-IDENTICAL to the HOF path: the HOF
+    computes a sequential left-fold sum (((0+p1)+p2)+...), and
+    ``np.cumsum(...)[:, -1]`` produces the exact same addition order,
+    so every sim double matches the Column expression bit for bit
+    (pinned by tests/test_kernel_equivalence.py) and the DuckDB
+    oracles stay green.
+
+    ``keep``: (column, spark_type) id columns carried through;
+    ``a_col``/``b_col``: array<double> vector columns (consumed)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = ", ".join(f"{c} {t}" for c, t in keep) + ", sim double"
+    cols = [c for c, _ in keep]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[a_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[b_col]])
+            d = np.cumsum(A * B, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+            out = {c: pdf[c].to_numpy() for c in cols}
+            out["sim"] = d / (na * nb)
+            yield pd.DataFrame(out)
+
+    return pairs.select(*cols, a_col, b_col).mapInPandas(kernel, schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,6 +118,19 @@ def _plane_matrix(n_tables: int, n_planes: int, dim: int):
     return (bits.astype(np.float64) * 2.0 - 1.0).reshape(n_tables, n_planes, dim)
 
 
+def lsh_bucket_matrix(V, n_planes: int, n_tables: int):
+    """Pure-numpy bucket math shared by the Spark kernel and the
+    frozen-oracle freeze script (scripts/freeze_ann.py): V (n, dim)
+    float64 -> (n, n_tables) int64 bucket ids, one per plane table."""
+    import numpy as np
+
+    p2 = (1 << np.arange(n_planes, dtype=np.int64))
+    H = _plane_matrix(n_tables, n_planes, V.shape[1])  # (T, P, dim)
+    # signs: (T, P, n) -> bucket per table: (n, T)
+    proj = np.einsum("tpd,nd->tpn", H, V)
+    return ((proj > 0).astype(np.int64) * p2[None, :, None]).sum(axis=1).T
+
+
 def _lsh_buckets(
     df: DataFrame, id_col: str, out_id: str, vec_col: str,
     n_planes: int, n_tables: int,
@@ -96,19 +145,11 @@ def _lsh_buckets(
     import pandas as pd
 
     def kernel(batches):
-        planes = {}
-        p2 = (1 << np.arange(n_planes, dtype=np.int64))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            dim = V.shape[1]
-            if dim not in planes:
-                planes[dim] = _plane_matrix(n_tables, n_planes, dim)
-            H = planes[dim]  # (T, P, dim)
-            # signs: (T, P, n) -> bucket per table: (n, T)
-            proj = np.einsum("tpd,nd->tpn", H, V)
-            buckets = ((proj > 0).astype(np.int64) * p2[None, :, None]).sum(axis=1).T
+            buckets = lsh_bucket_matrix(V, n_planes, n_tables)
             yield pd.DataFrame({
                 out_id: pdf[id_col].to_numpy(),
                 "v": list(V),
@@ -153,15 +194,48 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = (
+    pairs = (
         cand.join(c.select("neighbor_id", "v"), "neighbor_id")
         .join(F.broadcast(q.select("query_id", F.col("v").alias("qv"))), "query_id")
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+    )
+    scored = cosine_scored(
+        pairs, "qv", "v", [("query_id", "long"), ("neighbor_id", "long")]
     )
     top = grouped_topk(
         scored, ["query_id"], [F.col("sim").desc()], k, tiebreak=["neighbor_id"]
     )
     return top.select("query_id", "neighbor_id", "rank")
+
+
+def ivf_codebook(X, n_centroids: int, iters: int):
+    """Pure-numpy Lloyd k-means (cosine/spherical) over the sample
+    matrix — shared by the Spark path and scripts/freeze_ann.py."""
+    import numpy as np
+
+    from .dedup import _splitmix64
+
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # splitmix64-spread initial picks over the sample (deterministic)
+    idx = sorted({v % len(X) for v in _splitmix64(4 * n_centroids, salt=3)})[:n_centroids]
+    C = X[np.array(idx)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_cell_matrix(V, C, n: int):
+    """Pure-numpy nearest-cell assignment: V (rows, dim) float64 ->
+    (rows, n) int32 cell ids by cosine against codebook C."""
+    import numpy as np
+
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sims = Vn @ C.T
+    return np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int32)
 
 
 def _ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
@@ -176,20 +250,7 @@ def _ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     )
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    # splitmix64-spread initial picks over the sample (deterministic)
-    from .dedup import _splitmix64
-
-    idx = sorted({v % len(X) for v in _splitmix64(4 * n_centroids, salt=3)})[:n_centroids]
-    C = X[np.array(idx)]
-    for _ in range(iters):
-        assign = (X @ C.T).argmax(axis=1)
-        for c in range(len(C)):
-            m = assign == c
-            if m.any():
-                v = X[m].mean(axis=0)
-                C[c] = v / max(np.linalg.norm(v), 1e-12)
-    return C
+    return ivf_codebook(X, n_centroids, iters)
 
 
 def _assign_cells(df: DataFrame, id_col: str, out_id: str, vec_col: str,
@@ -206,9 +267,7 @@ def _assign_cells(df: DataFrame, id_col: str, out_id: str, vec_col: str,
             if len(pdf) == 0:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            sims = Vn @ Cb.T
-            cells = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+            cells = ivf_cell_matrix(V, Cb, n_probe)
             yield pd.DataFrame({out_id: pdf[id_col].to_numpy(),
                                 "v": list(V), "cells": list(cells)})
 
@@ -256,11 +315,13 @@ def ivf_topk(
     q = _assign_cells(queries, id_col, "query_id", vec_col, C, n_probe)
     ce = c.select("neighbor_id", "v", F.explode("cells").alias("cell"))
     qe = q.select("query_id", F.col("v").alias("qv"), F.explode("cells").alias("cell"))
-    scored = (
+    pairs = (
         ce.join(F.broadcast(qe), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+    )
+    scored = cosine_scored(
+        pairs, "qv", "v", [("query_id", "long"), ("neighbor_id", "long")]
     )
     top = grouped_topk(
         scored, ["query_id"], [F.col("sim").desc()], k, tiebreak=["neighbor_id"]
@@ -299,8 +360,7 @@ def cosine_near_dup_pairs(
         cand.join(b.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(b.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     )
-    return (
-        pairs.withColumn("sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+    scored = cosine_scored(
+        pairs, "va", "vb", [("id_a", "long"), ("id_b", "long")]
     )
+    return scored.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")

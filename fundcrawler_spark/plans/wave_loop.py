@@ -101,6 +101,21 @@ class CrawlConfig:
     # attribute wave-time outliers; None = zero overhead
     wave_hook: object = None
 
+    def __post_init__(self) -> None:
+        # insert_on='admission' buffers ('delete', failed-urls) ops so a
+        # failed fetch can be retried; only the cuckoo filter supports
+        # delete, so reject the bloom combination at construction time
+        # rather than silently corrupting the seen set at settle time
+        if self.insert_on == "admission" and self.seen_kind != "cuckoo":
+            raise ValueError(
+                "insert_on='admission' requires seen_kind='cuckoo' "
+                "(bloom filters cannot delete failed admissions)"
+            )
+        if self.seen_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_kind {self.seen_kind!r}")
+        if self.insert_on not in ("success", "admission"):
+            raise ValueError(f"unknown insert_on {self.insert_on!r}")
+
 
 def dedup_backlog_rows(seen: SeenSet, shards: DataFrame, rows: DataFrame,
                        active: DataFrame) -> DataFrame:
@@ -523,7 +538,17 @@ class Crawler:
                 # buffered inserts as ONE batched insert is bit-identical
                 # to the per-wave sequence — one cogroup level and one
                 # plan compile per settle instead of per wave. (bloom
-                # has no delete, so the buffer is inserts only.)
+                # has no delete, so the buffer is inserts only.) Guard
+                # that invariant loudly: a buffered ('delete', ...)
+                # frame silently ORed into the bloom would make failed
+                # URLs permanently 'seen' (never refetched).
+                bad_ops = {op for op, _ in pending_seen if op != "insert"}
+                if bad_ops:
+                    raise AssertionError(
+                        "bloom seen-set buffered non-insert ops "
+                        f"{sorted(bad_ops)}: bloom filters cannot delete "
+                        "(use seen_kind='cuckoo' with insert_on='admission')"
+                    )
                 df = pending_seen[0][1]
                 for _, d in pending_seen[1:]:
                     df = df.unionByName(d)
@@ -769,11 +794,11 @@ class Crawler:
                              approx_rows=sum(active_counts.values()))
             admitted.persist()
 
-            fetched = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts,
-                                wave=wave, discover=cfg.discover,
-                                expected_rows=sum(wave_budgets.values()))
-            fetched = with_fetch_order(fetched, admitted, order_offset)
-            fetched.persist()
+            fetched_raw = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts,
+                                    wave=wave, discover=cfg.discover,
+                                    expected_rows=sum(wave_budgets.values()))
+            fetched_raw.persist()
+            fetched = fetched_raw
             # one collect yields the AIMD observation (s, f) AND the
             # frontier-count deltas: admitted = s + f rows leave, rq
             # (= fails still under the retry cap) re-enter
@@ -793,9 +818,16 @@ class Crawler:
             t_agg_done = time.time()
             counts = {h: (s, f) for h, (s, f, _) in wave_agg.items()}
             n_admitted = sum(s + f for s, f in counts.values())
+            # deterministic crawl order from the SAME collected counts:
+            # per-host prefix-sum offsets attach as a literal map over
+            # the cached kernel output — no global single-partition
+            # WindowExec per wave (r5 verdict item 3)
+            fetched = with_fetch_order(
+                fetched, {h: s + f for h, (s, f) in counts.items()}, order_offset
+            )
             # both stay cached until the buffered appends flush — the
             # pending pages/metrics plans read from these cached blocks
-            pending_persisted.extend([fetched, admitted])
+            pending_persisted.extend([fetched_raw, admitted])
             # AIMD tick: exactly one ring update per host per wave; done
             # BEFORE the metrics append so fetch_log carries the same
             # post-observation (fail_rate, tasks_num, threshold) triple
@@ -806,14 +838,19 @@ class Crawler:
             if n_admitted:
                 order_offset += n_admitted
 
-                # seeds whose page just exhausted its retry budget can
-                # never complete — queue them for pool eviction at the
-                # next flush (lazy, reads the cached fetched frame)
+                # seeds whose BARRIER page just exhausted its retry
+                # budget can never complete — queue them for pool
+                # eviction at the next flush (lazy, reads the cached
+                # fetched frame). Restricted to the 4 barrier PAGE_TYPES:
+                # a retry-exhausted *discovered* URL (e.g. ANNOUNCE)
+                # carries the discovering seed's seed_index but does not
+                # block the 4-page barrier, so it must not evict the seed
                 if cfg.max_retries is not None:
                     pending_exhausted.append(
                         fetched.filter(
                             (F.col("state") == "FALSE")
                             & (F.col("retry_count") >= cfg.max_retries)
+                            & F.col("page_type").isin(list(PAGE_TYPES))
                         ).select("seed_index")
                     )
                 ok = fetched.filter(F.col("state") == "SUCCESS")

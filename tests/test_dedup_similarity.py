@@ -360,3 +360,80 @@ def test_crossmodal_caption_neardup_edges_merge_groups(spark):
         assert with_near[f"para_{k}"] == with_near[pix_src] == with_near[cap_src]
         assert without[f"para_{k}"] == without[pix_src]
         assert without[f"para_{k}"] != without[cap_src]
+
+
+def test_frozen_ann_candidates_reproduce(spark):
+    """The frozen ANN candidate sets (frozen_ann.py) must equal what the
+    engine's OWN Spark kernels generate at sf0.01 — a silent change to
+    the plane stream, codebook sample, or bucket math fails here before
+    it can desync the DuckDB oracles (scripts/freeze_ann.py)."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.frozen_ann import (
+        FROZEN_IVF_CANDIDATES,
+        FROZEN_LSH_CANDIDATES,
+    )
+    from fundcrawler_spark.operators.similarity import (
+        _assign_cells,
+        _ivf_centroids,
+        _lsh_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    # LSH: same bucket join as lsh_topk's candidate stage
+    c = _lsh_buckets(emb, "vec_id", "neighbor_id", "embedding", 8, 12)
+    qb = _lsh_buckets(q, "vec_id", "query_id", "embedding", 8, 12)
+    ce = c.select("neighbor_id", F.posexplode("buckets").alias("tbl", "bucket"))
+    qe = qb.select("query_id", F.posexplode("buckets").alias("tbl", "bucket"))
+    lsh_pairs = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in ce.join(qe, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct().collect()
+    )
+    assert lsh_pairs == sorted(FROZEN_LSH_CANDIDATES)
+
+    # IVF: same cell join as ivf_topk's candidate stage
+    C = _ivf_centroids(emb, "embedding", 16, 512, 5, "vec_id")
+    cc = _assign_cells(emb, "vec_id", "neighbor_id", "embedding", C, 3)
+    qc = _assign_cells(q, "vec_id", "query_id", "embedding", C, 4)
+    cce = cc.select("neighbor_id", F.explode("cells").alias("cell"))
+    qce = qc.select("query_id", F.explode("cells").alias("cell"))
+    ivf_pairs = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in cce.join(qce, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct().collect()
+    )
+    assert ivf_pairs == sorted(FROZEN_IVF_CANDIDATES)
+
+
+def test_ann_queries_match_frozen_oracle_sf001(spark):
+    """Driver-mirror parity for the two ANN entries at sf0.01 (the
+    driver's correctness SF): Spark query vs the frozen-candidate
+    DuckDB oracle, order-insensitive value compare."""
+    import duckdb
+    import pandas as pd
+
+    from fundcrawler_spark.entry_queries import QUERIES, resolve_oracle
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "'/root/testdata/sf0.01/embeddings.parquet'")
+
+    def norm(df: pd.DataFrame) -> list[tuple]:
+        df = df[sorted(df.columns)]
+        return sorted(
+            tuple("NULL" if pd.isna(v) else repr(v) for v in row)
+            for row in df.itertuples(index=False, name=None)
+        )
+
+    for name in ("embedding_ann_lsh", "embedding_ann_ivf"):
+        fn, sql = QUERIES[name]
+        sdf = fn(spark, "/root/testdata/sf0.01").toPandas()
+        odf = con.execute(resolve_oracle(sql)).df()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert len(sdf) == len(odf), name
+        assert norm(sdf) == norm(odf), name

@@ -150,3 +150,65 @@ def test_dedup_backlog_rows_drops_seen_and_pending(spark):
         ).collect()
     )
     assert out2 == [1, 2, 3, 4]
+
+
+def test_announce_exhaustion_does_not_evict_seed(spark):
+    """r5 ADVICE (high): a retry-exhausted DISCOVERED URL carries the
+    discovering seed's seed_index, but it is not a barrier page — the
+    seed must NOT be evicted from the incomplete pool, and its result
+    must still assemble once all 4 barrier pages succeed.
+
+    The fault injector is a pure function of (url_hash, attempt), so we
+    search driver-side for a (fund_code, fail_rate) pair where the
+    discovered ANNOUNCE URL fails its first attempt (max_retries=0 =>
+    immediate exhaustion) while all 4 barrier pages succeed outright."""
+    from fundcrawler_spark.sources.stub_transport import fault_kind
+
+    pool = fx.seed_rows(64)
+    codes = [r[0] for r in pool]
+    dmap = _discover_map(spark, codes)
+    seeds_all = spark.createDataFrame(pool, SEEDS_SCHEMA)
+    barrier_by_code: dict[str, list[int]] = {}
+    for r in seeds_to_frontier(seeds_all).collect():
+        barrier_by_code.setdefault(codes[r["seed_index"]], []).append(r["url_hash"])
+
+    pick = None
+    for fr in (0.05, 0.1, 0.15, 0.2, 0.3, 0.4):
+        for code in codes:
+            ann_hash = dmap[discovered_url(code)][0]
+            if fault_kind(ann_hash, 0, fr, 6) is None:
+                continue  # announce wouldn't fail
+            if any(fault_kind(h, 0, fr, 6) for h in barrier_by_code[code]):
+                continue  # a barrier page would fail too
+            pick = (code, fr)
+            break
+        if pick:
+            break
+    assert pick, "no (code, fail_rate) pair isolates the announce failure"
+    code, fr = pick
+
+    idx = codes.index(code)
+    seeds = spark.createDataFrame([pool[idx][:2] + (0,)], SEEDS_SCHEMA)
+    wd = tempfile.mkdtemp(prefix="disc_exh_")
+    try:
+        # checkpoint_every=10 puts the barrier completion (wave 0) and
+        # the announce exhaustion (wave 1) in the SAME flush interval —
+        # note_exhausted runs before finalize_increment, so a seed-level
+        # eviction there would drop the completed seed's pages from the
+        # pool before assembly (the pre-fix failure mode)
+        cfg = CrawlConfig(
+            fail_rate=fr, max_fail_attempts=6, max_retries=0, max_waves=20,
+            n_shards=8, discover=True, verify_host_counts=True,
+            checkpoint_every=10,
+        )
+        c = Crawler(spark, wd, cfg)
+        c.run(seeds=seeds, log=lambda *a: None)
+        pages = c.pages.read(spark).collect()
+        # all 4 barrier pages fetched; the announce page never succeeded
+        ptypes = sorted(r["page_type"] for r in pages)
+        assert ptypes == sorted(["OVERVIEW", "MANAGER", "METRICS", "INCREASE"]), ptypes
+        # the seed still assembled exactly one result
+        res = c.results.read(spark).collect()
+        assert [r["fund_code"] for r in res] == [code], res
+    finally:
+        shutil.rmtree(wd)

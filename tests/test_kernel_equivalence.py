@@ -118,3 +118,82 @@ def test_batch_minhash_features_nul_in_text():
     wc, cc = _batch_minhash_features(clean, 2, 5, 24, 32)
     assert (wd == wc).all() and (cd == cc).all()
     assert wd.shape == (3, 24) and cd.shape == (3, 32)
+
+
+def test_cosine_scored_kernel_equals_hof_bitexact(spark):
+    """The numpy verify kernel (cosine_scored, r5 verdict item 4) must
+    be BIT-identical to the interpreted aggregate/zip_with Column path:
+    np.cumsum's sequential prefix sums reproduce the HOF left fold's
+    addition order exactly, so swapping the verify stage cannot move
+    any oracle-checked sim double."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.operators.similarity import cosine, cosine_scored
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), int(1000 + i),
+         [float(x) for x in rng.normal(size=64)],
+         [float(x) for x in rng.normal(size=64)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, va array<double>, vb array<double>"
+    )
+    hof = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in df.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b", "sim").collect()
+    }
+    knl = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_scored(
+            df, "va", "vb", [("id_a", "long"), ("id_b", "long")]
+        ).collect()
+    }
+    assert set(hof) == set(knl)
+    import struct
+    for key in hof:
+        assert struct.pack("<d", hof[key]) == struct.pack("<d", knl[key]), key
+
+
+def test_resize_vectorized_equals_loop_reference():
+    """The np.ix_ integral-image resize (multimodal._resize_rgb) must be
+    BIT-identical to the original per-pixel loop (kept here as the
+    independent reference, r5 verdict item 2): same csum operands, same
+    (a-b-c+d)/area IEEE ops, so the frozen images_resize oracle cannot
+    move."""
+    import numpy as np
+
+    from fundcrawler_spark.operators.multimodal import _resize_rgb
+
+    def loop_reference(arr, w_out, h_out):
+        h, w = arr.shape[:2]
+        ys = (np.arange(h_out + 1) * h // h_out).astype(int)
+        xs = (np.arange(w_out + 1) * w // w_out).astype(int)
+        out = np.empty((h_out, w_out, 3))
+        for c in range(3):
+            csum = np.zeros((h + 1, w + 1))
+            csum[1:, 1:] = arr[:, :, c].astype(np.float64).cumsum(0).cumsum(1)
+            for i in range(h_out):
+                y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+                for j in range(w_out):
+                    x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+                    area = (y1 - y0) * (x1 - x0)
+                    out[i, j, c] = (
+                        csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
+                    ) / area
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (97, 131, 33, 25), (64, 64, 16, 16), (200, 50, 40, 10),
+        (7, 300, 5, 214), (1, 500, 1, 100), (500, 1, 100, 1),
+    ]
+    for h, w, w_out, h_out in cases:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = _resize_rgb(arr, w_out, h_out)
+        ref = loop_reference(arr, w_out, h_out)
+        assert got.dtype == ref.dtype and got.shape == ref.shape
+        assert np.array_equal(got, ref), (h, w, w_out, h_out)

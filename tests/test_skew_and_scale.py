@@ -67,7 +67,15 @@ def test_fetch_fanout_sized_by_expected_rows(spark):
     admitted = admit(frontier, {"fundf10.eastmoney.com": 160}, 160)
     sized = run_fetch(admitted, fail_rate=0.0, wave=0, expected_rows=160)
     n_parts = sized.rdd.getNumPartitions()
-    assert n_parts == 32, n_parts
+    # expectation mirrors run_fetch's sizing rule (min of the 4x-cores
+    # cap and ceil(rows/FETCH_ROWS_PER_TASK)) rather than hard-coding 32,
+    # so the test survives a conftest core-count change
+    from fundcrawler_spark.operators.fetch import FETCH_ROWS_PER_TASK
+    expected = min(
+        spark.sparkContext.defaultParallelism * 4,
+        -(-160 // FETCH_ROWS_PER_TASK),
+    )
+    assert n_parts == expected, (n_parts, expected)
     rows_sized = {r["url_hash"] for r in sized.collect()}
     rows_default = {
         r["url_hash"] for r in run_fetch(admitted, fail_rate=0.0, wave=0).collect()
