@@ -37,15 +37,25 @@ def run_fetch(
     wave: int | None = None,
     discover: bool = False,
     expected_rows: int | None = None,
+    transport: str = "stub",
 ) -> DataFrame:
-    """admitted frontier rows -> FETCHED_SCHEMA rows (stub transport).
+    """admitted frontier rows -> FETCHED_SCHEMA rows.
     ``wave`` stamps the rows with the wave the fetch HAPPENS in (the
     frontier row's own wave column is its enqueue wave).
     ``expected_rows``: caller's upper bound on the admitted count (the
     wave loop knows the per-host budgets); sizes the fan-out so a
     budget-bounded wave doesn't schedule 4x-cores mostly-empty
-    applyInPandas tasks. None = unknown = assume big."""
-    from ..sources.stub_transport import fetch_pandas_batch
+    applyInPandas tasks. None = unknown = assume big.
+    ``transport``: 'stub' (deterministic offline, the test/bench
+    default) or 'http' (live urllib GETs, sources/http_transport) —
+    resolved by module name inside the kernel so the closure stays
+    picklable."""
+    if transport == "stub":
+        from ..sources.stub_transport import fetch_pandas_batch
+    elif transport == "http":
+        from ..sources.http_transport import fetch_pandas_batch
+    else:
+        raise ValueError(f"unknown transport {transport!r}")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return fetch_pandas_batch(pdf, fail_rate, max_fail_attempts, discover)

@@ -86,6 +86,10 @@ class CrawlConfig:
     shard_capacity: int = 1_000_000
     robots_by_host: dict = field(default_factory=dict)
     agent: str = "fundcrawler"
+    # fetch transport: 'stub' (deterministic offline) | 'http' (live
+    # urllib GETs via sources/http_transport — the kernel a real user
+    # points at a live site; unit-tested against localhost only)
+    transport: str = "stub"
     # debug cross-check: re-derive the incremental per-host frontier
     # counts with a full groupBy each wave and assert they agree
     verify_host_counts: bool = False
@@ -115,6 +119,8 @@ class CrawlConfig:
             raise ValueError(f"unknown seen_kind {self.seen_kind!r}")
         if self.insert_on not in ("success", "admission"):
             raise ValueError(f"unknown insert_on {self.insert_on!r}")
+        if self.transport not in ("stub", "http"):
+            raise ValueError(f"unknown transport {self.transport!r}")
 
 
 def dedup_backlog_rows(seen: SeenSet, shards: DataFrame, rows: DataFrame,
@@ -796,7 +802,8 @@ class Crawler:
 
             fetched_raw = run_fetch(admitted, cfg.fail_rate, cfg.max_fail_attempts,
                                     wave=wave, discover=cfg.discover,
-                                    expected_rows=sum(wave_budgets.values()))
+                                    expected_rows=sum(wave_budgets.values()),
+                                    transport=cfg.transport)
             fetched_raw.persist()
             fetched = fetched_raw
             # one collect yields the AIMD observation (s, f) AND the

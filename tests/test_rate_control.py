@@ -58,3 +58,39 @@ def test_budget_table_roundtrip():
     bt2 = BudgetTable.from_dict(d, max_num=160.0)
     assert bt2.rates["a"].to_dict() == bt.rates["a"].to_dict()
     assert bt2.rates["b"].iterations == 1  # ticked with (0,0)
+
+
+def test_rate_chart_writes_reference_layout(spark, tmp_path):
+    """plans/rate_chart.draw_rate_analysis — the reference's analyse
+    mode (rate_control_analyse.py:8-35) over the fetch_log table. In
+    this container matplotlib is absent, so the dependency-free SVG
+    backend renders; the series math is the oracle-checked
+    analyze_rate_log either way."""
+    from fundcrawler_spark.plans.rate_chart import draw_rate_analysis, rate_series
+
+    rows = []
+    for w in range(6):
+        for p in range(2):  # two partitions per wave: lineage fan-out
+            rows.append((w, "h1", 10, 9, 1, 0.1 * w, 20.0 + w, 16.0, p, 5.0))
+    log = spark.createDataFrame(
+        rows,
+        "wave int, host string, n_admitted long, n_success long, n_fail long, "
+        "fail_rate_w10 double, budget double, threshold double, "
+        "partition_id int, wall_ms double",
+    )
+    host, fr, tasks, thresh = rate_series(log)
+    assert host == "h1" and len(fr) == 6
+    assert tasks == [20.0 + w for w in range(6)]
+    out = draw_rate_analysis(log, str(tmp_path / "rate.png"))
+    text = open(out).read()
+    if out.endswith(".svg"):
+        assert "<svg" in text and text.count("<polyline") == 3
+        for label in ("fail_rate", "tasks_num", "threshold_num"):
+            assert label in text
+    # multi-host logs require an explicit host
+    log2 = log.union(spark.createDataFrame(
+        [(0, "h2", 1, 1, 0, 0.0, 5.0, 16.0, 0, 1.0)], log.schema))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hosts"):
+        rate_series(log2)
+    assert len(rate_series(log2, host="h2")[1]) == 1

@@ -118,3 +118,68 @@ def test_admit_literal_map_equals_broadcast_join(spark):
     # common hosts, and zero-budget hosts admit nothing in either
     assert got_small == {t for t in got_big if t[0] in few_hosts}
     assert all(int(h[1:].split(".")[0]) % 2 for h, _ in got_big)
+
+
+def test_driver_host_state_bounded_at_1e5_hosts():
+    """r5 verdict item 6: the wave loop keeps O(distinct hosts) driver
+    state (BudgetTable + per-host count dicts). Measure the ceiling at
+    10^5 hosts — the structures must stay tens-of-MB (fine for any
+    realistic politeness table; a true web-scale host set would move
+    these to a spillable table, documented in wave_loop) and one full
+    observe_wave tick over every host must stay sub-second-ish."""
+    import time
+    import tracemalloc
+
+    from fundcrawler_spark.plans.rate_control import BudgetTable
+
+    n = 100_000
+    hosts = [f"h{i}.example.com" for i in range(n)]
+    tracemalloc.start()
+    budgets = BudgetTable(max_num=160.0)
+    for h in hosts:
+        budgets.budget_for(h)  # materializes every HostRate
+    active_counts = {h: 7 for h in hosts}
+    backlog_total = {h: 1000 for h in hosts}
+    orig_rem_lb = {h: 42 for h in hosts}
+    current, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert current < 200 * 1024 * 1024, f"{current/1e6:.0f} MB for 1e5 hosts"
+
+    t0 = time.time()
+    counts = {h: (6, 1) for h in hosts}
+    budgets.observe_wave(counts, set(hosts))
+    dt = time.time() - t0
+    assert dt < 5.0, f"observe_wave over 1e5 hosts took {dt:.1f}s"
+    # keep the dicts alive so tracemalloc attributed them above
+    assert len(active_counts) == len(backlog_total) == len(orig_rem_lb) == n
+
+
+def test_fetch_order_broadcast_fallback_over_256_hosts(spark):
+    """with_fetch_order switches from a literal offset map to a
+    broadcast join above 256 hosts; both paths must produce the same
+    deterministic (host ASC, host_rank ASC) total order."""
+    from fundcrawler_spark.operators.fetch import with_fetch_order
+
+    n_hosts, per_host = 300, 3
+    rows = [
+        (i * per_host + r, f"h{i:04d}", r + 1)
+        for i in range(n_hosts) for r in range(per_host)
+    ]
+    df = spark.createDataFrame(rows, "url_hash long, host string, host_rank int")
+    counts = {f"h{i:04d}": per_host for i in range(n_hosts)}
+    out = with_fetch_order(df, counts, order_offset=10)
+    got = {r["url_hash"]: r["fetch_order"] for r in out.collect()}
+    # expected: hosts sorted ASC (h0000 < h0001 < ...), ranks within
+    expect = {}
+    order = 10
+    for i in range(n_hosts):
+        for r in range(per_host):
+            expect[i * per_host + r] = order + r + 1
+        order += per_host
+    assert got == expect
+    # sub-256 literal-map path agrees on a slice of the same input
+    small_hosts = [f"h{i:04d}" for i in range(200)]
+    small = df.filter(df["host"].isin(small_hosts))
+    out_small = with_fetch_order(small, {h: per_host for h in small_hosts}, 10)
+    got_small = {r["url_hash"]: r["fetch_order"] for r in out_small.collect()}
+    assert got_small == {k: v for k, v in expect.items() if k < 200 * per_host}
