@@ -1743,3 +1743,276 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r[0], r[1]) for r in rows], "audio_id string, bytes binary"
     )
     return audio_features(df)
+
+
+# =====================================================================
+# round-6 additions: boilerplate ratio, benchmark contamination,
+# PII redaction, as-of join, image quality filter, image blur score
+# =====================================================================
+
+# Within-document repeated-bigram ratio (the Gopher-style repetition
+# quality rule): fraction of a doc's word bigrams that are duplicates
+# of an earlier bigram in the same doc. Pure Column math per doc — no
+# shuffle at all beyond the final groupBy on doc_id, and at 100 TB the
+# groupBy is map-side-combinable (counts per doc).
+_WORDS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@register(
+    "boilerplate_ratio",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS ng
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+)
+SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT ng) AS n_distinct,
+       1.0 - CAST(count(DISTINCT ng) AS DOUBLE) / count(*) AS boilerplate_ratio
+FROM g GROUP BY doc_id
+""",
+)
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n=2)).alias("ng")
+    )
+    return g.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("ng").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("ng").cast("double") / F.count("*")
+        ).alias("boilerplate_ratio"),
+    )
+
+
+# Benchmark-contamination check: corpus docs sharing any word 5-gram
+# with a held-out "benchmark" slice (doc_id % 10 == 7 — in production
+# this side is the eval-set shingle table). Scale shape: DISTINCT
+# shingle sets on both sides, one equi-join on the gram (banded, never
+# all-pairs), benchmark side broadcast when small — the standard
+# decontamination pass an LLM training pipeline runs before training.
+@register(
+    "contamination_check",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS ng
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+  WHERE len(words) >= 5
+),
+bench AS (SELECT DISTINCT doc_id AS bench_id, ng FROM g WHERE doc_id % 10 = 7),
+corpus AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 10 <> 7)
+SELECT c.doc_id, count(DISTINCT c.ng) AS n_shared_ngrams,
+       count(DISTINCT b.bench_id) AS n_benchmark_docs
+FROM corpus c JOIN bench b ON c.ng = b.ng
+GROUP BY c.doc_id
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n=5)).alias("ng")
+    ).distinct()
+    bench = (
+        g.filter(F.col("doc_id") % 10 == 7)
+        .select(F.col("doc_id").alias("bench_id"), "ng")
+    )
+    corpus = g.filter(F.col("doc_id") % 10 != 7)
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+# PII redaction: emails / US phone numbers / IPv4s scrubbed and
+# counted over a deterministic planted fixture (fixtures.pii_rows —
+# the documents table's synthetic text contains no PII-shaped spans,
+# so the fixture plants real ones). Both engines run their OWN regex
+# machinery (Spark: java.util.regex, codegen'd regexp_replace /
+# regexp_extract_all; DuckDB: RE2) over identical inputs inlined in
+# the oracle's VALUES — patterns chosen in the common dialect subset.
+_PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_N_PII_ROWS = 120
+
+
+def _pii_oracle_sql() -> str:
+    from . import fixtures as fx
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', '{_sql_str(t)}')" for i, t in fx.pii_rows(_N_PII_ROWS)
+    )
+    return f"""
+WITH p(pii_id, text) AS (VALUES
+{values})
+SELECT pii_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+  len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+  len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{_PII_EMAIL}', '[EMAIL]', 'g'),
+    '{_PII_PHONE}', '[PHONE]', 'g'),
+    '{_PII_IP}', '[IP]', 'g') AS redacted
+FROM p
+"""
+
+
+@register("pii_redact", _pii_oracle_sql)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+
+    df = spark.createDataFrame(
+        fx.pii_rows(_N_PII_ROWS), "pii_id string, text string"
+    )
+    t = F.col("text")
+    return df.select(
+        "pii_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, _PII_EMAIL, "[EMAIL]"),
+                _PII_PHONE,
+                "[PHONE]",
+            ),
+            _PII_IP,
+            "[IP]",
+        ).alias("redacted"),
+    )
+
+
+# As-of join over the events table: each click enriched with the
+# latest at-or-before view by the same user. The Spark side is the
+# scale-safe union+window shape (operators/asof.py — ONE exchange on
+# user_id, no range join); the oracle states the same semantics as the
+# naive inequality join, which DuckDB can afford at sf0.01.
+@register(
+    "events_asof_join",
+    """
+SELECT c.event_id AS click_id, c.user_id,
+       epoch_us(max(v.ts)) AS last_view_us,
+       count(*) AS n_prior_views
+FROM events c JOIN events v
+  ON v.user_id = c.user_id AND v.ts <= c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+GROUP BY c.event_id, c.user_id
+""",
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_enrich
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    out = asof_enrich(clicks, views, key="user_id", ts="ts", right_id="event_id")
+    return out.select(
+        F.col("left_id").alias("click_id"),
+        "user_id",
+        # parquet ts reads as TIMESTAMP_NTZ; session tz is UTC, so the
+        # cast interprets it as the same instant DuckDB's epoch_us sees
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("last_view_us"),
+        F.col("n_prior").alias("n_prior_views"),
+    )
+
+
+# Image quality filter: decode-driven metadata (w, h, fmt from
+# enrich_images) + pure Column quality rules — min side, aspect ratio,
+# lossless-format preference — the first gate a multimodal pipeline
+# applies before spending decode/caption compute. The oracle inlines
+# the FROZEN (image_id, w, h, fmt) meta (frozen_phash.py) and applies
+# the same rules in SQL, so an engine-side decode/dimension regression
+# shifts only the Spark side.
+def _images_quality_oracle_sql() -> str:
+    from .frozen_phash import FROZEN_IMAGE_META
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', {w}, {h}, '{_sql_str(fmt)}')"
+        for i, w, h, fmt, _ph in FROZEN_IMAGE_META
+        if not i.startswith("dup_")
+    )
+    return f"""
+WITH m(image_id, w, h, fmt) AS (VALUES
+{values})
+SELECT image_id, w, h, fmt,
+       CAST(w * h AS DOUBLE) / 1000000.0 AS megapixels,
+       CAST(greatest(w, h) AS DOUBLE) / least(w, h) AS aspect
+FROM m
+WHERE least(w, h) >= 48
+  AND CAST(greatest(w, h) AS DOUBLE) / least(w, h) <= 1.5
+  AND fmt <> 'dctq'
+"""
+
+
+@register("images_quality_filter", _images_quality_oracle_sql)
+def q_images_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import enrich_images
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
+    )
+    e = enrich_images(df)
+    aspect = F.greatest("w", "h").cast("double") / F.least("w", "h")
+    return (
+        e.select(
+            "image_id",
+            "w",
+            "h",
+            "fmt",
+            ((F.col("w") * F.col("h")).cast("double") / F.lit(1000000.0)).alias(
+                "megapixels"
+            ),
+            aspect.alias("aspect"),
+        )
+        .filter(
+            (F.least("w", "h") >= 48)
+            & (aspect <= 1.5)
+            & (F.col("fmt") != "dctq")
+        )
+    )
+
+
+# Image blur scoring: variance-of-Laplacian sharpness over decoded
+# pixels (operators/multimodal.blur_scores). Oracle = the committed
+# frozen values computed by an INDEPENDENT pure-Python
+# reimplementation (scripts/freeze_blur.py / frozen_blur.py) — exact
+# because the kernel's inner math is integer until two final ordered
+# float divisions.
+def _images_blur_oracle_sql() -> str:
+    from .frozen_blur import FROZEN_BLUR_META
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', {w}, {h}, CAST('{bv!r}' AS DOUBLE))"
+        for i, w, h, bv in FROZEN_BLUR_META
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values +
+        ") AS t(image_id, w, h, blur_var)"
+    )
+
+
+@register("images_blur", _images_blur_oracle_sql)
+def q_images_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import blur_scores
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
+    )
+    return blur_scores(df)

@@ -231,6 +231,43 @@ def audio_rows(n: int) -> list[tuple[str, bytes, int, int]]:
     return rows
 
 
+# ------------------------------------------------------------ PII docs
+
+_PII_FILLER = (
+    "the quick report covers quarterly fund onboarding and support "
+    "escalations across regions"
+).split()
+
+
+def pii_rows(n: int) -> list[tuple[str, str]]:
+    """(pii_id, text) rows with deterministically planted PII spans —
+    emails, US-style phone numbers, IPv4s — woven between filler
+    words. Every 5th row is clean (no PII), some rows carry two of a
+    kind, so the redaction op's counts take nontrivial values. The
+    SAME rows are inlined into the DuckDB oracle's VALUES, so the
+    cross-engine check exercises each engine's own regex machinery
+    (Java util.regex vs RE2) on identical inputs."""
+    rows = []
+    for i in range(n):
+        fill = " ".join(
+            _PII_FILLER[(i + k) % len(_PII_FILLER)] for k in range(5)
+        )
+        parts = [fill]
+        if i % 5 != 4:
+            parts.append(f"reach user{i}@example{i % 7}.com today")
+            if i % 3 == 0:
+                parts.append(f"cc team.lead{i}@corp{i % 4}.example.org")
+        if i % 4 != 3:
+            parts.append(f"call 555-{100 + i % 900:03d}-{(1000 + i * 7) % 10000:04d} now")
+        if i % 6 < 2:
+            parts.append(
+                f"from host 10.{i % 256}.{(i * 3) % 256}.{(i * 7) % 256} logged"
+            )
+        parts.append(fill)
+        rows.append((f"pii_{i:04d}", " ".join(parts)))
+    return rows
+
+
 # ---------------------------------------------------------------- hosts
 
 EASTMONEY_HOST = "fundf10.eastmoney.com"

@@ -189,3 +189,31 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def laplacian_blur_var(arr: np.ndarray) -> float:
+    """Variance of the 4-neighbor Laplacian over integer luma — the
+    classic 'variance of Laplacian' sharpness score (low = blurry).
+
+    Bit-exact by construction: luma is integer ((299R+587G+114B)//1000),
+    the Laplacian and both sums are exact int64 arithmetic, and the
+    only float ops are two divisions + one multiply + one subtract in
+    a fixed order — so a pure-Python reimplementation (the frozen
+    oracle generator, scripts/freeze_blur.py) reproduces the value to
+    the last bit."""
+    a = arr.astype(np.int64)
+    g = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    if g.shape[0] < 3 or g.shape[1] < 3:
+        return 0.0
+    lap = (
+        4 * g[1:-1, 1:-1]
+        - g[:-2, 1:-1]
+        - g[2:, 1:-1]
+        - g[1:-1, :-2]
+        - g[1:-1, 2:]
+    )
+    n = lap.size
+    s = int(lap.sum())
+    ss = int((lap * lap).sum())
+    mean = float(s) / n
+    return float(ss) / n - mean * mean

@@ -281,6 +281,49 @@ def audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+def blur_scores(df: DataFrame) -> DataFrame:
+    """(image_id, bytes) -> (image_id, w, h, blur_var): decode each
+    payload and score sharpness as the variance of the 4-neighbor
+    Laplacian over integer luma (functions/imaging.laplacian_blur_var
+    — exact-int inner math, so the committed frozen oracle generated
+    by an INDEPENDENT pure-Python reimplementation
+    (scripts/freeze_blur.py) matches to the last bit). The standard
+    low-quality-image filter a multimodal training pipeline runs
+    before captioning. Arrow-batched mapInPandas; same row-count
+    repartition rationale as enrich_images."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "blur_var": []}
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                data = bytes(blob) if blob is not None else b""
+                fmt = detect_fmt(data) if data else None
+                if fmt is None:
+                    w = h = None
+                    bv = None
+                else:
+                    arr = imaging.decode_image(data, fmt)
+                    h, w = arr.shape[:2]
+                    bv = imaging.laplacian_blur_var(arr)
+                out["image_id"].append(iid)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["blur_var"].append(bv)
+            o = pd.DataFrame(out)
+            o["w"] = o["w"].astype("Int32")
+            o["h"] = o["h"].astype("Int32")
+            yield o
+
+    spark = df.sparkSession
+    return (
+        df.select("image_id", "bytes")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            kernel, "image_id string, w int, h int, blur_var double"
+        )
+    )
+
+
 def phash_hamming(col_a, col_b):
     """Hamming distance between two 64-bit phashes — JVM-side bit_count
     of xor, no Python (SURVEY.md §2.7)."""

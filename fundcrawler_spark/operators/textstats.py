@@ -246,6 +246,28 @@ def minhash_signature_kernel(docs: DataFrame, n_hashes: int = 16,
     )
 
 
+def word_array(text: Column) -> Column:
+    """Whitespace tokens as an array, empties dropped — the shared
+    tokenization for the word-n-gram ops (mirrors DuckDB
+    ``list_filter(string_split(text, ' '), x -> x <> '')``)."""
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams joined with single spaces; docs with fewer than
+    ``n`` words yield an empty array (never a descending
+    ``F.sequence`` — Spark generates DESC sequences when start > stop,
+    which would silently fabricate grams)."""
+    ws = word_array(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def simhash32(text: Column, n_bits: int = 32) -> Column:
     """32-bit SimHash over whitespace tokens hashed with poly_hash:
     bit j set iff sum over tokens of sign((token_hash >> j) & 1) > 0.

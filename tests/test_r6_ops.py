@@ -1,0 +1,227 @@
+"""Round-6 operators: as-of join, boilerplate/contamination n-grams,
+PII redaction, image blur + quality filter."""
+
+from pyspark.sql import functions as F
+
+from fundcrawler_spark import fixtures as fx
+from fundcrawler_spark.functions import imaging
+from fundcrawler_spark.operators.asof import asof_enrich
+from fundcrawler_spark.operators.multimodal import blur_scores
+from fundcrawler_spark.operators.textstats import word_ngrams
+
+
+# ------------------------------------------------------------- as-of
+
+
+def test_asof_matches_naive_range_join(spark):
+    """Union+window as-of == the naive inequality join + argmax, on a
+    hand-built stream with every tie case: view at exactly the click
+    ts (inclusive), two views at the same ts, clicks with no prior
+    view (dropped), interleaved users."""
+    rows = [
+        # (event_id, ts, user_id, kind)
+        (1, 100, 1, "view"),
+        (2, 200, 1, "click"),   # matches view@100, n_prior=1
+        (3, 200, 1, "view"),    # same ts as click 2? sorts before any LATER click
+        (4, 200, 1, "click"),   # ts == view 3 -> inclusive, n_prior=2
+        (5, 50, 2, "click"),    # no prior view -> dropped
+        (6, 300, 2, "view"),
+        (7, 300, 2, "view"),    # duplicate-ts views
+        (8, 400, 2, "click"),   # n_prior=2, asof_ts=300
+        (9, 500, 3, "view"),    # user with views only -> no output row
+    ]
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [
+            (e, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None), u, k)
+            for e, t, u, k in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    clicks = df.filter(F.col("event_type") == "click")
+    views = df.filter(F.col("event_type") == "view")
+    got = {
+        r["left_id"]: (r["asof_ts"].timestamp(), r["n_prior"])
+        for r in asof_enrich(
+            clicks, views, key="user_id", ts="ts", right_id="event_id"
+        ).collect()
+    }
+    # naive reference: for each click, views with same user and ts <= click ts
+    expected = {}
+    for e, t, u, k in rows:
+        if k != "click":
+            continue
+        prior = [(tv, ev) for ev, tv, uv, kv in rows
+                 if kv == "view" and uv == u and tv <= t]
+        if prior:
+            expected[e] = (float(max(tv for tv, _ in prior)), len(prior))
+    assert got == expected
+
+
+def test_asof_events_parquet_matches_pandas(spark):
+    """Full-table cross-check on the shared events parquet."""
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    got = (
+        asof_enrich(clicks, views, key="user_id", ts="ts", right_id="event_id")
+        .toPandas()
+        .set_index("left_id")
+        .sort_index()
+    )
+    pdf = e.toPandas()
+    c = pdf[pdf.event_type == "click"]
+    v = pdf[pdf.event_type == "view"]
+    exp_rows = {}
+    for _, row in c.iterrows():
+        prior = v[(v.user_id == row.user_id) & (v.ts <= row.ts)]
+        if len(prior):
+            exp_rows[row.event_id] = (prior.ts.max(), len(prior))
+    assert len(got) == len(exp_rows)
+    for eid, (ts_max, n) in exp_rows.items():
+        assert got.loc[eid, "asof_ts"] == ts_max
+        assert got.loc[eid, "n_prior"] == n
+
+
+def test_asof_plan_has_no_join_and_one_exchange(spark):
+    """The whole point of the union+window shape: zero join operators,
+    exactly one hash exchange (on the key)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = asof_enrich(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+        key="user_id",
+        ts="ts",
+        right_id="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ----------------------------------------------------------- n-grams
+
+
+def test_word_ngrams_short_docs_yield_empty(spark):
+    """Docs with fewer than n words must yield [] — F.sequence would
+    otherwise generate a DESCENDING range and fabricate grams."""
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two", ), ("one two three", ),
+         ("  ", ), ("a  b", )],  # double space -> empty token dropped
+        "text string",
+    )
+    got = [r[0] for r in df.select(word_ngrams(F.col("text"), n=3)).collect()]
+    assert got == [[], [], [], ["one two three"], [], []]
+
+
+def test_word_ngrams_overlapping(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(word_ngrams(F.col("text"), n=2)).collect()[0][0]
+    assert got == ["a b", "b c", "c d"]
+
+
+# --------------------------------------------------------------- PII
+
+
+def test_pii_rows_deterministic_and_planted():
+    a, b = fx.pii_rows(60), fx.pii_rows(60)
+    assert a == b
+    # every 5th row (i % 5 == 4) has no email; i % 4 == 3 has no phone
+    assert "@" not in a[4][1] and "@" not in a[9][1]
+    assert "555-" not in a[3][1] and "555-" not in a[7][1]
+    assert "@" in a[0][1] and "555-" in a[0][1] and "10." in a[0][1]
+
+
+def test_pii_redact_scrubs_everything(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    out = QUERIES["pii_redact"][0](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 120
+    assert out.n_emails.sum() > 100 and out.n_phones.sum() > 80
+    assert out.n_ips.sum() > 30
+    # nothing PII-shaped survives redaction
+    assert not out.redacted.str.contains("@").any()
+    assert not out.redacted.str.contains(r"\d{3}-\d{3}-\d{4}", regex=True).any()
+    assert not out.redacted.str.contains(
+        r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", regex=True
+    ).any()
+
+
+# -------------------------------------------------------------- blur
+
+
+def test_blur_scores_match_frozen(spark):
+    from fundcrawler_spark.frozen_blur import FROZEN_BLUR_META
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
+    )
+    got = {r["image_id"]: r["blur_var"] for r in blur_scores(df).collect()}
+    for iid, _w, _h, bv in FROZEN_BLUR_META:
+        assert got[iid] == bv, (iid, got[iid], bv)
+
+
+def test_blur_var_degenerate_images():
+    import numpy as np
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert imaging.laplacian_blur_var(flat) == 0.0
+    tiny = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert imaging.laplacian_blur_var(tiny) == 0.0
+    # blur (box-mean) must strictly reduce the score of a sharp image
+    sharp = fx.make_image("blur_probe", 48, 48)
+    blurred = sharp.astype(np.int64)
+    blurred = (
+        blurred
+        + np.roll(blurred, 1, 0) + np.roll(blurred, -1, 0)
+        + np.roll(blurred, 1, 1) + np.roll(blurred, -1, 1)
+    ) // 5
+    assert imaging.laplacian_blur_var(blurred.astype(np.uint8)) < (
+        imaging.laplacian_blur_var(sharp)
+    )
+
+
+def test_blur_none_payload_yields_null(spark):
+    df = spark.createDataFrame(
+        [("x", None), ("bad", bytearray(b"notanimage"))],
+        "image_id string, bytes binary",
+    )
+    got = {r["image_id"]: r["blur_var"] for r in blur_scores(df).collect()}
+    assert got == {"x": None, "bad": None}
+
+
+# ----------------------------------------------------- quality filter
+
+
+def test_images_quality_filter_subset(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    out = QUERIES["images_quality_filter"][0](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) > 0
+    # recompute the rule from the fixture metadata
+    expected = set()
+    for i, r in enumerate(fx.image_rows(64)):
+        iid, w, h, fmt = r[0], r[2], r[3], r[4]
+        if min(w, h) >= 48 and max(w, h) / min(w, h) <= 1.5 and fmt != "dctq":
+            expected.add(iid)
+    assert set(out.image_id) == expected
+    assert (out.megapixels == out.w * out.h / 1e6).all()
+
+
+# -------------------------------------------------- contamination plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    df = QUERIES["contamination_check"][0](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    out = df.toPandas()
+    # the sf0.001 slice may or may not contain planted near-dups that
+    # cross the benchmark split; counts must at least be well-formed
+    assert (out.n_shared_ngrams > 0).all() if len(out) else True
