@@ -2016,3 +2016,86 @@ def q_images_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
     )
     return blur_scores(df)
+
+
+# Corpus-level boilerplate mining: the 50 most frequent word trigrams
+# across the whole corpus with total occurrences and document
+# frequency — the table a curation pipeline eyeballs to build its
+# boilerplate strip-list. Scale shape: explode -> groupBy(ng) is
+# map-side combinable; the final top-K compiles to
+# TakeOrderedAndProject (per-partition heap + driver merge of K rows,
+# never a global sort of the gram table). Tie-break on the gram string
+# makes the selected SET deterministic when counts tie at the cut.
+@register(
+    "corpus_ngram_stats",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS ng
+  FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+)
+SELECT ng, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY ng
+ORDER BY n_total DESC, ng ASC LIMIT 50
+""",
+)
+def q_corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n=3)).alias("ng")
+    )
+    return (
+        g.groupBy("ng")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("ng"))
+        .limit(50)
+    )
+
+
+# Deterministic stratified sampling by language — the
+# reproducible-downsample op a data-mixing pipeline needs (language
+# rebalancing with an auditable keep rule, not rand()). Keep iff
+# poly_hash(doc_id ':' lang) % 1000 < rate[lang] — pure Column math,
+# no shuffle at all (the filter pushes to the scan stage), identical
+# keep set on every run and every engine.
+_STRATA_RATES = {"en": 400, "zh": 800, "es": 600, "de": 500, "fr": 700}
+_STRATA_DEFAULT = 300
+
+
+def _stratified_oracle_sql() -> str:
+    from .entry_queries import _poly_sql  # self-import safe at call time
+
+    rate_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+    )
+    key = "concat(CAST(doc_id AS VARCHAR), ':', lang)"
+    return f"""
+SELECT doc_id, lang,
+       {_poly_sql(key)} % 1000 AS bucket
+FROM documents
+WHERE {_poly_sql(key)} % 1000
+      < (CASE lang {rate_case} ELSE {_STRATA_DEFAULT} END)
+"""
+
+
+@register("stratified_sample", _stratified_oracle_sql)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import poly_hash
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
+    bucket = F.pmod(poly_hash(key), F.lit(1000))
+    rate = F.col("lang")
+    expr = F.lit(_STRATA_DEFAULT)
+    for k, v in _STRATA_RATES.items():
+        expr = F.when(F.col("lang") == k, F.lit(v)).otherwise(expr)
+    return d.select(
+        "doc_id", "lang", bucket.alias("bucket"), expr.alias("__rate")
+    ).filter(F.col("bucket") < F.col("__rate")).drop("__rate")

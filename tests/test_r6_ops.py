@@ -225,3 +225,38 @@ def test_contamination_broadcasts_benchmark_side(spark):
     # the sf0.001 slice may or may not contain planted near-dups that
     # cross the benchmark split; counts must at least be well-formed
     assert (out.n_shared_ngrams > 0).all() if len(out) else True
+
+
+# ------------------------------------------- corpus n-grams / sampling
+
+
+def test_corpus_ngram_topk_is_take_ordered(spark):
+    """The global top-K must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge of K rows), never a full sort
+    of the gram table."""
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    df = QUERIES["corpus_ngram_stats"][0](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    out = df.toPandas()
+    assert len(out) == 50
+    assert (out.n_total.values[:-1] >= out.n_total.values[1:]).all()
+    assert (out.n_docs <= out.n_total).all()
+
+
+def test_stratified_sample_deterministic_and_per_lang(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    fn = QUERIES["stratified_sample"][0]
+    a = fn(spark, "/root/testdata/sf0.001").toPandas().sort_values("doc_id")
+    b = fn(spark, "/root/testdata/sf0.001").toPandas().sort_values("doc_id")
+    assert a.doc_id.tolist() == b.doc_id.tolist()  # reproducible keep set
+    assert (a.bucket < 1000).all() and (a.bucket >= 0).all()
+    # zh keeps at ~80%, en at ~40%: the per-lang rates must actually bite
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").toPandas()
+    for lang, rate in (("zh", 0.8), ("en", 0.4)):
+        n_all = (src.lang == lang).sum()
+        n_kept = (a.lang == lang).sum()
+        if n_all >= 10:
+            assert abs(n_kept / n_all - rate) < 0.35, (lang, n_kept, n_all)
