@@ -2099,3 +2099,97 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", bucket.alias("bucket"), expr.alias("__rate")
     ).filter(F.col("bucket") < F.col("__rate")).drop("__rate")
+
+
+# Corpus-LM quality score (CCNet-style, self-trained): char-bigram LM
+# counted over the whole documents table, each doc scored by the mean
+# FIXED-POINT probability of its own bigrams — integer q values so
+# every aggregate is an order-free int64 sum; the only float op is
+# one final int/int division (bit-identical cross-engine; no log()).
+# Scale shape: bigram vocab is alphabet-bounded -> both count tables
+# broadcast; see operators/textstats.lm_quality_scores.
+@register(
+    "lm_quality_score",
+    """
+WITH b AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+  FROM documents, UNNEST(range(1, length(text))) AS t(i)
+  WHERE length(text) >= 2
+), c AS (
+  SELECT bg, count(*) AS cnt FROM b GROUP BY bg
+), p AS (
+  SELECT substr(bg, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS pcnt
+  FROM c GROUP BY 1
+), q AS (
+  SELECT c.bg, (c.cnt * 10000) // p.pcnt AS q
+  FROM c JOIN p ON substr(c.bg, 1, 1) = p.c1
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       CAST(sum(q.q) AS BIGINT) AS sum_q,
+       CAST(CAST(sum(q.q) AS BIGINT) AS DOUBLE) / count(*) AS lm_score
+FROM b JOIN q ON b.bg = q.bg
+GROUP BY b.doc_id
+""",
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lm_quality_scores
+
+    return lm_quality_scores(_t(spark, sf_dir, "documents"))
+
+
+# HTML main-text extraction — the crawl->corpus bridge (fetched page
+# -> documents-table row). Runs over a deterministic planted HTML
+# fixture (fixtures.html_rows); the SAME rows are inlined into the
+# oracle's VALUES, and the regex chain is written in the dialect
+# subset java.util.regex and RE2 share, so each engine exercises its
+# own machinery on identical inputs (same contract as pii_redact).
+_N_HTML_ROWS = 96
+
+
+def _html_oracle_sql() -> str:
+    from . import fixtures as fx
+    from .functions.html import (
+        HTML_ENTITIES,
+        RE_COMMENT,
+        RE_SCRIPT,
+        RE_STYLE,
+        RE_TAG,
+        RE_WS,
+    )
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', '{_sql_str(t)}')" for i, t in fx.html_rows(_N_HTML_ROWS)
+    )
+    expr = "text"
+    for pat in (RE_SCRIPT, RE_STYLE, RE_COMMENT, RE_TAG):
+        expr = f"regexp_replace({expr}, '{_sql_str(pat)}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        expr = f"replace({expr}, '{_sql_str(ent)}', '{_sql_str(rep)}')"
+    expr = f"trim(regexp_replace({expr}, '{_sql_str(RE_WS)}', ' ', 'g'))"
+    return f"""
+WITH h(page_id, text) AS (VALUES
+{values}),
+x AS (SELECT page_id, {expr} AS extracted FROM h)
+SELECT page_id, extracted,
+       length(extracted) AS n_chars,
+       len(list_filter(string_split(extracted, ' '), w -> w <> '')) AS n_words
+FROM x
+"""
+
+
+@register("html_text_extract", _html_oracle_sql)
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .functions.html import extract_html_text
+    from .operators.textstats import word_array
+
+    df = spark.createDataFrame(
+        fx.html_rows(_N_HTML_ROWS), "page_id string, text string"
+    )
+    ext = extract_html_text(F.col("text"))
+    return df.select(
+        "page_id",
+        ext.alias("extracted"),
+        F.length(ext).alias("n_chars"),
+        F.size(word_array(ext)).alias("n_words"),
+    )

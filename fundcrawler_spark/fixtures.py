@@ -268,6 +268,38 @@ def pii_rows(n: int) -> list[tuple[str, str]]:
     return rows
 
 
+# ------------------------------------------------------------ HTML docs
+
+
+def html_rows(n: int) -> list[tuple[str, str]]:
+    """(page_id, html) rows — deterministic synthetic pages exercising
+    every branch of the HTML text extractor: multi-line <script> (the
+    (?s) DOTALL path), <style>, comments, attribute-bearing tags, all
+    six decoded entities, double-encoded entities every 6th row, and
+    ragged whitespace. The SAME rows are inlined into the DuckDB
+    oracle's VALUES so each engine runs its OWN regex machinery
+    (java.util.regex vs RE2) over identical inputs."""
+    rows = []
+    for i in range(n):
+        fill = " ".join(
+            _PII_FILLER[(i + k) % len(_PII_FILLER)] for k in range(4)
+        )
+        ent = "&amp;lt;still-encoded&amp;gt;" if i % 6 == 0 else "&lt;nav&gt;"
+        html = (
+            f"<!DOCTYPE html><html><head><title>Fund {i:04d}</title>\n"
+            f"<style>.r{{color:#f00}}\n.b{{font-weight:bold}}</style>\n"
+            f"<script type=\"text/javascript\">\nvar a = {i};\n"
+            f"if (a < 10) {{ emit(\"x &amp; y\"); }}\n</script></head>\n"
+            f"<body>\n<!-- generated row {i}\n     second comment line -->\n"
+            f"<h1 class=\"t\">Fund &quot;{i:04d}&quot;</h1>\n"
+            f"<p id=\"nav\">net {ent} value   {i % 97}.{i % 10} &amp; rising</p>\n"
+            f"<div><span>manager&#39;s</span>&nbsp;tenure {i % 7}\tyears</div>\n"
+            f"<p>{fill}</p>\n</body></html>"
+        )
+        rows.append((f"page_{i:04d}", html))
+    return rows
+
+
 # ---------------------------------------------------------------- hosts
 
 EASTMONEY_HOST = "fundf10.eastmoney.com"

@@ -290,3 +290,68 @@ def simhash32(text: Column, n_bits: int = 32) -> Column:
             F.lit(0).cast("long")
         )
     return total
+
+
+def char_bigrams_all(text: Column) -> Column:
+    """ALL character bigrams of the document in position order,
+    duplicates kept — the event stream a corpus language model counts
+    (unlike ``char_ngrams``, which is the distinct shingle SET for
+    dedup). Docs shorter than 2 chars yield an empty array (guarded:
+    Spark fabricates DESCENDING sequences when start > stop)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - 1),
+        lambda i: F.substring(text, i, 2),
+    )
+    return F.when(F.length(text) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lm_quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """CCNet-style language-model quality score, self-trained on the
+    corpus: a character-bigram LM is counted over ALL documents, then
+    each document is scored by the mean fixed-point probability of its
+    own bigrams. Low score = improbable character sequences = the junk
+    a perplexity filter drops (CCNet, Wenzek et al. 2020 — there the
+    LM is external; here it is the corpus itself, which is the
+    degenerate-but-deterministic variant this sandbox can verify).
+
+    Exactness across engines: probabilities are FIXED-POINT —
+    ``q(bg) = (count(bg) * scale) div count(prefix-char)`` — so every
+    per-doc aggregate is an int64 sum (order-free), and the only float
+    op is one final division of two exact integers (bit-identical in
+    any IEEE engine). No log(), whose last-ULP behaviour differs
+    between runtimes.
+
+    100-TB shape: the bigram count table is bounded by alphabet²
+    (≤ ~1e6 rows even for wide unicode) — both count aggregations are
+    map-side combinable, and the per-doc re-join broadcasts the tiny
+    q table, so the whole op costs one explode + two small shuffles.
+    Overflow bound: ``count(bg) * scale`` stays inside int64 until a
+    single bigram exceeds ~9e14 occurrences (≈ a petabyte of that one
+    bigram) — raise ``scale`` only with that bound in mind.
+    """
+    b = docs.select(
+        id_col, F.explode(char_bigrams_all(F.col(text_col))).alias("bg")
+    )
+    c = b.groupBy("bg").agg(F.count("*").alias("cnt"))
+    p = c.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("pcnt")
+    )
+    q = c.join(
+        F.broadcast(p), F.substring(F.col("bg"), 1, 1) == F.col("c1")
+    ).select("bg", F.expr(f"(cnt * {int(scale)}) div pcnt").alias("q"))
+    return (
+        b.join(F.broadcast(q), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("q").alias("sum_q"),
+            (F.sum("q").cast("double") / F.count("*")).alias("lm_score"),
+        )
+    )

@@ -67,6 +67,12 @@ from .rate_control import BudgetTable
 # counts compounding across checkpoint intervals (see finalize_increment)
 POOL_PARTITIONS = 8
 
+# post-fetch coalesce sizing: downstream per-wave consumers read the
+# cached kernel output through a coalesce of ceil(rows / this) tasks
+# (capped at defaultParallelism) — 1 task for politeness-bounded waves,
+# proportional fan-in for genuinely large ones
+COALESCE_ROWS_PER_TASK = 4096
+
 
 @dataclass
 class CrawlConfig:
@@ -832,6 +838,24 @@ class Crawler:
             fetched = with_fetch_order(
                 fetched, {h: s + f for h, (s, f) in counts.items()}, order_offset
             )
+            # narrow the wave's downstream reads back to O(1) tasks: r5
+            # persisted the post-window SinglePartition frame, so every
+            # consumer (eviction filter, pages/metrics/seen buffers,
+            # requeue) ran 1-task jobs; removing the window left them
+            # scanning the fetch kernel's full fan-out (≥32 blocks of
+            # ~5 rows) — ~31 extra tasks × several jobs × 412 waves cost
+            # ~200 s on the full replay. coalesce is a NARROW dep over
+            # the already-materialized cached blocks (the wave_agg
+            # collect above populated them): no exchange, no kernel
+            # recompute, and the task count still scales with the
+            # wave's actual row count for genuinely large waves.
+            if n_admitted:
+                fetched = fetched.coalesce(
+                    min(
+                        spark.sparkContext.defaultParallelism,
+                        max(1, -(-n_admitted // COALESCE_ROWS_PER_TASK)),
+                    )
+                )
             # both stay cached until the buffered appends flush — the
             # pending pages/metrics plans read from these cached blocks
             pending_persisted.extend([fetched_raw, admitted])

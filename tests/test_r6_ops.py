@@ -260,3 +260,108 @@ def test_stratified_sample_deterministic_and_per_lang(spark):
         n_kept = (a.lang == lang).sum()
         if n_all >= 10:
             assert abs(n_kept / n_all - rate) < 0.35, (lang, n_kept, n_all)
+
+
+# ------------------------------------------------- corpus LM score
+
+
+def _py_lm_scores(texts: dict[str, str], scale: int = 10_000):
+    """Independent pure-Python recompute of lm_quality_scores."""
+    from collections import Counter
+
+    bigrams = {k: [t[i : i + 2] for i in range(len(t) - 1)]
+               for k, t in texts.items() if len(t) >= 2}
+    cnt = Counter(b for bs in bigrams.values() for b in bs)
+    pref = Counter()
+    for bg, c in cnt.items():
+        pref[bg[0]] += c
+    q = {bg: (c * scale) // pref[bg[0]] for bg, c in cnt.items()}
+    out = {}
+    for k, bs in bigrams.items():
+        s = sum(q[b] for b in bs)
+        out[k] = (len(bs), s, float(s) / len(bs))
+    return out
+
+
+def test_lm_quality_matches_python_recompute(spark):
+    """Exact (bit-level, incl. the float division) agreement with an
+    independent reimplementation; len<2 docs are excluded."""
+    from fundcrawler_spark.operators.textstats import lm_quality_scores
+
+    texts = {
+        "d1": "abab",
+        "d2": "abba",
+        "d3": "x",            # too short -> no output row
+        "d4": "the fast key",  # realistic spacing
+        "d5": "the the the",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_q"], r["lm_score"])
+        for r in lm_quality_scores(df).collect()
+    }
+    assert got == _py_lm_scores(texts)
+    assert "d3" not in got
+
+
+def test_lm_quality_repetition_scores_higher(spark):
+    """A doc made of the corpus's dominant bigrams outscores a doc of
+    rare SUCCESSORS for the same prefix chars — the conditional-
+    probability signal a perplexity filter keys on. (The rare doc must
+    share prefixes with the common ones: a bigram whose prefix char it
+    monopolizes gets conditional probability 1.0, not a low score.)"""
+    from fundcrawler_spark.operators.textstats import lm_quality_scores
+
+    rows = [("common%d" % i, "ababababab") for i in range(8)]
+    rows.append(("rare", "aabb"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    scores = {r["doc_id"]: r["lm_score"] for r in lm_quality_scores(df).collect()}
+    assert scores["common0"] > scores["rare"]
+
+
+def test_lm_quality_per_doc_join_is_broadcast(spark):
+    from fundcrawler_spark.operators.textstats import lm_quality_scores
+
+    df = spark.createDataFrame(
+        [("d%d" % i, "spark window merge sort") for i in range(20)],
+        "doc_id string, text string",
+    )
+    plan = lm_quality_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- HTML extraction
+
+
+def test_html_rows_deterministic():
+    assert fx.html_rows(8) == fx.html_rows(8)
+    assert len(fx.html_rows(8)) == 8
+
+
+def test_html_extract_strips_blocks_tags_and_decodes(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    fn, _ = QUERIES["html_text_extract"]
+    rows = {r["page_id"]: r for r in fn(spark, "unused").collect()}
+    assert len(rows) == 96
+    r1 = rows["page_0001"]
+    t = r1["extracted"]
+    # script/style/comment CONTENT is gone (multi-line blocks incl.)
+    assert "var a" not in t and "color:#f00" not in t
+    assert "generated row" not in t and "second comment" not in t
+    # no markup tags survive; decoded entities DO appear as text
+    assert "<h1" not in t and "</p>" not in t and "<div>" not in t
+    assert 'Fund "0001"' in t
+    assert "manager's tenure 1 years" in t
+    assert "<nav> value" in t  # &lt;nav&gt; is CONTENT, not markup
+    # whitespace fully collapsed
+    assert "  " not in t and "\t" not in t and "\n" not in t
+    assert not t.startswith(" ") and not t.endswith(" ")
+    # double-encoded row decodes exactly ONE level
+    t0 = rows["page_0000"]["extracted"]
+    assert "&lt;still-encoded&gt;" in t0
+    # derived counts agree with the extracted string
+    assert r1["n_chars"] == len(t)
+    assert r1["n_words"] == len([w for w in t.split(" ") if w])
