@@ -2193,3 +2193,140 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(ext).alias("n_chars"),
         F.size(word_array(ext)).alias("n_words"),
     )
+
+
+# Gopher repetition filters (Rae et al. 2021): per-doc fraction of
+# characters covered by the most frequent word 2-gram and by word
+# 5-grams occurring >1 time — the character-weighted repetition
+# signals (boilerplate_ratio is the count-weighted cousin). All-int
+# aggregates, two final int/int divisions; see
+# operators/textstats.repetition_signals for the 100-TB shape.
+@register(
+    "gopher_repetition",
+    f"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars, {_WORDS_SQL} AS words
+  FROM documents
+), g2 AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS ng
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+), c2 AS (
+  SELECT doc_id, ng, count(*) AS cnt FROM g2 GROUP BY 1, 2
+), t2 AS (
+  SELECT doc_id, CAST(max(cnt * length(ng)) AS BIGINT) AS top2_chars
+  FROM c2 GROUP BY 1
+), g5 AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS ng
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+  WHERE len(words) >= 5
+), c5 AS (
+  SELECT doc_id, ng, count(*) AS cnt FROM g5 GROUP BY 1, 2
+), t5 AS (
+  SELECT doc_id, CAST(sum(cnt * length(ng)) AS BIGINT) AS dup5_chars
+  FROM c5 WHERE cnt >= 2 GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(w.n_chars AS BIGINT) AS n_chars,
+       CAST(len(w.words) AS BIGINT) AS n_words,
+       COALESCE(t2.top2_chars, 0) AS top2_chars,
+       COALESCE(t5.dup5_chars, 0) AS dup5_chars,
+       CAST(COALESCE(t2.top2_chars, 0) AS DOUBLE)
+         / greatest(w.n_chars, 1) AS top_2gram_char_frac,
+       CAST(COALESCE(t5.dup5_chars, 0) AS DOUBLE)
+         / greatest(w.n_chars, 1) AS dup_5gram_char_frac
+FROM w
+LEFT JOIN t2 ON w.doc_id = t2.doc_id
+LEFT JOIN t5 ON w.doc_id = t5.doc_id
+""",
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# Difference-hash image fingerprints over the fixture set (64 base
+# images + the 8 planted lossy re-encodes). The oracle inlines the
+# FROZEN committed values computed by an INDEPENDENT pure-Python
+# reimplementation (scripts/freeze_dhash.py / frozen_dhash.py) — the
+# same split as images_blur: exact integer math on both sides, so a
+# decode or dhash regression fails the hash compare.
+def _dhash_fixture_df(spark: SparkSession) -> DataFrame:
+    from . import fixtures as fx
+    from .functions import imaging
+
+    rows = fx.image_rows(64)
+    planted = []
+    for i in range(0, 64, 8):
+        arr = imaging.decode_image(bytes(rows[i][1]), rows[i][4])
+        planted.append(
+            (f"dup_{rows[i][0]}",
+             bytearray(imaging.encode_image(arr, "dctq")))
+        )
+    return spark.createDataFrame(
+        [(r[0], r[1]) for r in rows] + planted,
+        "image_id string, bytes binary",
+    )
+
+
+def _dhash_oracle_sql() -> str:
+    from .frozen_dhash import FROZEN_DHASH_META
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', CAST({dh} AS BIGINT))"
+        for i, dh in FROZEN_DHASH_META
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values + ") AS t(image_id, dhash)"
+    )
+
+
+@register("images_dhash", _dhash_oracle_sql)
+def q_images_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import dhash_images
+
+    return dhash_images(_dhash_fixture_df(spark)).select("image_id", "dhash")
+
+
+# Consensus near-dup pairs: phash pigeonhole candidates (hamming <= 12)
+# post-filtered by dhash agreement (hamming <= 14). At these fixture
+# thresholds phash ALONE admits 9 pairs — one spurious collision — and
+# the dhash test rejects exactly that one, keeping the 8 planted
+# re-encodes: the precision mechanism is itself under oracle. The
+# oracle replays the full conjunction over BOTH frozen hash tables
+# with an exact DuckDB self-join.
+def _consensus_oracle_sql() -> str:
+    from .frozen_dhash import FROZEN_DHASH_META
+    from .frozen_phash import FROZEN_IMAGE_META
+
+    dh = dict(FROZEN_DHASH_META)
+    values = ",\n".join(
+        f"('{_sql_str(i)}', CAST({ph} AS BIGINT), CAST({dh[i]} AS BIGINT))"
+        for i, _w, _h, _f, ph in FROZEN_IMAGE_META
+    )
+    return f"""
+WITH p(image_id, phash, dhash) AS (VALUES
+{values})
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS phash_hamming,
+       bit_count(xor(a.dhash, b.dhash)) AS dhash_hamming
+FROM p a JOIN p b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 12
+  AND bit_count(xor(a.dhash, b.dhash)) <= 14
+"""
+
+
+@register("consensus_near_dup_pairs", _consensus_oracle_sql)
+def q_consensus_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import consensus_near_dups
+    from .operators.multimodal import dhash_images, enrich_images
+
+    df = _dhash_fixture_df(spark)
+    ph = enrich_images(df).select("image_id", "phash")
+    dh = dhash_images(df).select("image_id", "dhash")
+    return consensus_near_dups(
+        ph.join(dh, "image_id"), max_phash=12, max_dhash=14
+    )

@@ -217,3 +217,50 @@ def laplacian_blur_var(arr: np.ndarray) -> float:
     ss = int((lap * lap).sum())
     mean = float(s) / n
     return float(ss) / n - mean * mean
+
+
+# ---------------------------------------------------------------- dhash
+
+
+def dhash64(arr: np.ndarray) -> int | None:
+    """Row-gradient difference hash (the classic dHash): integer luma,
+    box-partitioned to an 8-row x 9-col grid, bit set iff the left
+    cell's mean luma exceeds the right cell's. A second, INDEPENDENT
+    perceptual-hash family vs phash64 (gradient signs vs DCT spectrum)
+    — consensus between the two raises near-dup precision.
+
+    Bit-exact by construction (unlike phash64's float DCT): luma is
+    integer ``(299R+587G+114B)//1000``, cell sums are exact int64, and
+    each comparison is cross-multiplied — ``sum_l * area_r >
+    sum_r * area_l`` — so no division ever happens. int64 bound:
+    sum <= 255*4000*3000 ~ 3e9, area <= 12e6, product ~ 3.6e16 << 2^63.
+
+    Images smaller than the 9x8 grid have degenerate cells -> None
+    (callers treat it like a failed decode).
+    """
+    h, w = arr.shape[:2]
+    if h < 8 or w < 9:
+        return None
+    g = (
+        299 * arr[:, :, 0].astype(np.int64)
+        + 587 * arr[:, :, 1].astype(np.int64)
+        + 114 * arr[:, :, 2].astype(np.int64)
+    ) // 1000
+    csum = np.zeros((h + 1, w + 1), dtype=np.int64)
+    csum[1:, 1:] = g.cumsum(0).cumsum(1)
+    ys = (np.arange(9) * h // 8).astype(int)
+    xs = (np.arange(10) * w // 9).astype(int)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    sums = (
+        csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)]
+        - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]
+    )
+    areas = np.outer(y1 - y0, x1 - x0).astype(np.int64)
+    left = sums[:, :-1] * areas[:, 1:]
+    right = sums[:, 1:] * areas[:, :-1]
+    bits = (left > right).astype(np.uint64).flatten()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))

@@ -616,3 +616,53 @@ def crossmodal_dup_groups(
     return label_propagate(
         base.select(F.col("image_id").alias("id")), pairs
     ).select(F.col("id").alias("image_id"), "group_id")
+
+
+def consensus_near_dups(
+    images: DataFrame, max_phash: int = 12, max_dhash: int = 14
+) -> DataFrame:
+    """Image near-dup pairs confirmed by BOTH perceptual-hash families:
+    phash (DCT spectrum) within ``max_phash`` AND dhash (gradient
+    signs, functions/imaging.dhash64) within ``max_dhash``. The two
+    hashes fail independently — a phash collision between unrelated
+    images rarely survives the gradient test — so the conjunction
+    trades a little recall at the phash boundary for much higher
+    precision, the usual production setting for destructive dedup.
+
+    Input needs (image_id, phash, dhash) columns. Exact w.r.t. its
+    contract: candidates come from the phash pigeonhole blocking
+    (recall guaranteed for ``max_phash``), and the dhash test is a
+    post-filter on that superset — so the returned set IS the full
+    conjunction, never a sample.
+
+    100-TB shape: the pigeonhole equi-join generates candidates (never
+    all-pairs); the dhash attach is two hash-joins keyed on image id
+    against a (id, dhash) projection — broadcast when the image table
+    is dimension-sized, shuffle-hash otherwise. No new quadratic stage.
+    """
+    pairs = phash_near_dups(images, max_hamming=max_phash)
+    d = images.select("image_id", "dhash")
+    out = (
+        pairs.join(
+            d.select(
+                F.col("image_id").alias("id_a"), F.col("dhash").alias("dh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            d.select(
+                F.col("image_id").alias("id_b"), F.col("dhash").alias("dh_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "dhash_hamming", F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+        )
+        .filter(F.col("dhash_hamming") <= max_dhash)
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("hamming").alias("phash_hamming"),
+        "dhash_hamming",
+    )

@@ -338,3 +338,47 @@ def decode_stub_other_formats(data: bytes, fmt: str) -> np.ndarray:
         f"codec '{fmt}' requires an image library not present in this "
         "container; ppm/bmp/dctq are implemented in functions/imaging.py"
     )
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """(image_id, bytes) -> (image_id, w, h, dhash): decode each
+    payload and compute the 64-bit difference hash
+    (functions/imaging.dhash64 — exact-int gradient comparisons, so
+    the committed frozen oracle generated by an INDEPENDENT
+    pure-Python reimplementation (scripts/freeze_dhash.py) matches to
+    the last bit). The second perceptual-hash family next to phash:
+    consensus between DCT-spectrum and gradient-sign hashes raises
+    near-dup precision (dedup.consensus_near_dups). Arrow-batched
+    mapInPandas; same row-count repartition rationale as
+    enrich_images."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "dhash": []}
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                data = bytes(blob) if blob is not None else b""
+                fmt = detect_fmt(data) if data else None
+                if fmt is None:
+                    w = h = dh = None
+                else:
+                    arr = imaging.decode_image(data, fmt)
+                    h, w = arr.shape[:2]
+                    dh = imaging.dhash64(arr)
+                out["image_id"].append(iid)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["dhash"].append(dh)
+            o = pd.DataFrame(out)
+            o["w"] = o["w"].astype("Int32")
+            o["h"] = o["h"].astype("Int32")
+            o["dhash"] = o["dhash"].astype("Int64")
+            yield o
+
+    spark = df.sparkSession
+    return (
+        df.select("image_id", "bytes")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            kernel, "image_id string, w int, h int, dhash long"
+        )
+    )

@@ -292,6 +292,93 @@ def simhash32(text: Column, n_bits: int = 32) -> Column:
     return total
 
 
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per document, the fraction of characters covered by the single most
+    frequent word 2-gram (``top_2gram_char_frac``, Gopher drops docs
+    over 0.20) and by word 5-grams occurring more than once
+    (``dup_5gram_char_frac``, Gopher threshold 0.15). These are the
+    CHARACTER-weighted repetition filters — complementary to
+    ``boilerplate_ratio``'s count-based distinct ratio.
+
+    Exactness across engines: every aggregate is an int64 count/sum/max
+    (order-free), char coverage is ``occurrences × length(gram)``
+    (overlaps counted per occurrence — documented Gopher-approximation,
+    identical in both engines), and the only float ops are two final
+    int/int divisions. The top-gram fraction needs NO argmax tie-break:
+    ``max(cnt * length(gram))`` is a scalar max, deterministic by
+    construction.
+
+    100-TB shape: two explode → groupBy((doc, gram)) aggregations, both
+    map-side combinable and keyed by doc_id (no cross-doc key exists,
+    so gram hotness cannot skew a partition beyond one doc's size),
+    then two per-doc re-aggregations and broadcast-or-shuffle left
+    joins back on doc_id. No all-pairs shape, no window.
+    """
+    text = F.col(text_col)
+    base = docs.select(
+        id_col,
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(word_array(text)).cast("long").alias("n_words"),
+    )
+
+    def gram_chars(n: int):
+        g = docs.select(
+            id_col, F.explode(word_ngrams(text, n=n)).alias("ng")
+        )
+        return g.groupBy(id_col, "ng").agg(F.count("*").alias("cnt"))
+
+    top2 = (
+        gram_chars(2)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.col("cnt") * F.length("ng").cast("long")).alias(
+                "top2_chars"
+            )
+        )
+    )
+    dup5 = (
+        gram_chars(5)
+        .filter(F.col("cnt") >= 2)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.length("ng").cast("long")).alias(
+                "dup5_chars"
+            )
+        )
+    )
+    denom = F.greatest(F.col("n_chars"), F.lit(1).cast("long"))
+    return (
+        base.join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            "n_words",
+            F.coalesce("top2_chars", F.lit(0).cast("long")).alias(
+                "top2_chars"
+            ),
+            F.coalesce("dup5_chars", F.lit(0).cast("long")).alias(
+                "dup5_chars"
+            ),
+            (
+                F.coalesce("top2_chars", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / denom
+            ).alias("top_2gram_char_frac"),
+            (
+                F.coalesce("dup5_chars", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / denom
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
 def char_bigrams_all(text: Column) -> Column:
     """ALL character bigrams of the document in position order,
     duplicates kept — the event stream a corpus language model counts

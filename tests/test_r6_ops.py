@@ -365,3 +365,135 @@ def test_html_extract_strips_blocks_tags_and_decodes(spark):
     # derived counts agree with the extracted string
     assert r1["n_chars"] == len(t)
     assert r1["n_words"] == len([w for w in t.split(" ") if w])
+
+
+# ------------------------------------------- Gopher repetition
+
+
+def _py_repetition(texts: dict):
+    """Independent pure-Python recompute of repetition_signals."""
+    from collections import Counter
+
+    out = {}
+    for k, t in texts.items():
+        words = [w for w in t.split(" ") if w]
+        n_chars = len(t)
+        g2 = Counter(
+            " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+        )
+        g5 = Counter(
+            " ".join(words[i : i + 5]) for i in range(len(words) - 4)
+        )
+        top2 = max((c * len(g) for g, c in g2.items()), default=0)
+        dup5 = sum(c * len(g) for g, c in g5.items() if c >= 2)
+        d = max(n_chars, 1)
+        out[k] = (
+            n_chars, len(words), top2, dup5,
+            float(top2) / d, float(dup5) / d,
+        )
+    return out
+
+
+def test_repetition_signals_match_python_recompute(spark):
+    from fundcrawler_spark.operators.textstats import repetition_signals
+
+    texts = {
+        "rep": "go go go go go stop",              # one dominant 2-gram
+        "dup5": "a b c d e x a b c d e y a b c d e",  # repeated 5-gram
+        "clean": "the quick brown fox jumps over a lazy dog",
+        "one": "word",                              # no 2-grams at all
+        "empty": "",                                # zero chars
+        "spaces": "  padded   words  here  ",       # empties dropped
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["n_words"], r["top2_chars"], r["dup5_chars"],
+            r["top_2gram_char_frac"], r["dup_5gram_char_frac"],
+        )
+        for r in repetition_signals(df).collect()
+    }
+    assert got == _py_repetition(texts)
+    # the signal separates: repeated doc far above clean prose
+    assert got["rep"][4] > 0.5 > got["clean"][4]
+    assert got["dup5"][5] > 0.5 > got["clean"][5]
+    # every doc keeps a row (left joins), zeros not nulls
+    assert got["one"] == (4, 1, 0, 0, 0.0, 0.0)
+    assert got["empty"] == (0, 0, 0, 0, 0.0, 0.0)
+
+
+# ------------------------------------------------------------- dhash
+
+
+def test_dhash_frozen_matches_live_kernel():
+    """Reproduction pin: the pure-Python frozen values == the live
+    numpy dhash64 on every fixture image (incl. the planted lossy
+    re-encodes) — a semantic drift in either side breaks this."""
+    from fundcrawler_spark.frozen_dhash import FROZEN_DHASH_META
+
+    rows = {r[0]: r for r in fx.image_rows(64)}
+    assert len(FROZEN_DHASH_META) == 72
+    for iid, dh in FROZEN_DHASH_META:
+        if iid.startswith("dup_"):
+            r = rows[iid[4:]]
+            arr = imaging.decode_image(bytes(r[1]), r[4])
+            arr = imaging.decode_image(
+                bytes(imaging.encode_image(arr, "dctq")), "dctq"
+            )
+        else:
+            r = rows[iid]
+            arr = imaging.decode_image(bytes(r[1]), r[4])
+        assert imaging.dhash64(arr) == dh, iid
+
+
+def test_dhash_degenerate_and_invariances():
+    import numpy as np
+
+    # below the 9x8 grid -> None, not a bogus hash
+    assert imaging.dhash64(np.zeros((7, 9, 3), dtype=np.uint8)) is None
+    assert imaging.dhash64(np.zeros((8, 8, 3), dtype=np.uint8)) is None
+    # flat image -> all comparisons false -> hash 0
+    flat = np.full((16, 18, 3), 123, dtype=np.uint8)
+    assert imaging.dhash64(flat) == 0
+    # monotone left->right gradient -> every bit 0; reversed -> every bit 1
+    ramp = np.tile(
+        np.linspace(0, 255, 36, dtype=np.uint8)[None, :, None], (16, 1, 3)
+    )
+    assert imaging.dhash64(ramp) == 0
+    rev = ramp[:, ::-1, :].copy()
+    assert imaging.dhash64(rev) == -1  # 64 ones = signed -1
+    # brightness shift leaves the gradient signs (hence the hash) alone
+    img = fx.make_image("dhash_probe", 48, 48)
+    shifted = np.clip(img.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    dh_img = imaging.dhash64(img)
+    assert (
+        bin((dh_img ^ imaging.dhash64(shifted)) & (2**64 - 1)).count("1") <= 6
+    )
+
+
+def test_consensus_rejects_phash_false_positive(spark):
+    """At the fixture thresholds phash alone admits 9 pairs; the dhash
+    post-filter drops exactly the one non-planted collision."""
+    from fundcrawler_spark.entry_queries import QUERIES, _dhash_fixture_df
+    from fundcrawler_spark.operators.dedup import phash_near_dups
+    from fundcrawler_spark.operators.multimodal import (
+        dhash_images,
+        enrich_images,
+    )
+
+    df = _dhash_fixture_df(spark)
+    ph = enrich_images(df).select("image_id", "phash")
+    phash_only = phash_near_dups(ph, max_hamming=12).collect()
+    assert len(phash_only) == 9
+    out = QUERIES["consensus_near_dup_pairs"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 8
+    # the 8 survivors are exactly the planted re-encodes
+    got_pairs = {tuple(sorted((r["id_a"], r["id_b"]))) for r in out}
+    assert got_pairs == {
+        tuple(sorted((f"img_{k}_0", f"dup_img_{k}_0")))
+        for k in range(0, 16, 2)
+    }
