@@ -2330,3 +2330,60 @@ def q_consensus_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consensus_near_dups(
         ph.join(dh, "image_id"), max_phash=12, max_dhash=14
     )
+
+
+# Corpus composition report — the data-mixing table a pretraining run
+# is weighted from: per (source, lang) doc/char/token counts and each
+# cell's share of total corpus tokens. Token share is int/int (one
+# exact division); the corpus total attaches via a broadcast of a
+# 1-row aggregate, NOT a global window — at 100 TB this is two
+# map-side-combinable aggregations (cells are bounded by
+# |sources|x|langs|, tiny) and zero windows/sorts.
+@register(
+    "corpus_composition",
+    f"""
+WITH d AS (
+  SELECT source, lang,
+         length(text) AS n_chars,
+         len({_WORDS_SQL}) AS n_tokens
+  FROM documents
+), cells AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM cells
+)
+SELECT c.source, c.lang, c.n_docs, c.n_chars, c.n_tokens,
+       CAST(c.n_tokens AS DOUBLE) / greatest(t.total_tokens, 1)
+         AS token_share
+FROM cells c CROSS JOIN tot t
+""",
+)
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import word_array
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(word_array(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    tot = cells.agg(F.sum("n_tokens").alias("total_tokens"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.greatest(F.col("total_tokens"), F.lit(1).cast("long"))
+        ).alias("token_share"),
+    )

@@ -497,3 +497,26 @@ def test_consensus_rejects_phash_false_positive(spark):
         tuple(sorted((f"img_{k}_0", f"dup_img_{k}_0")))
         for k in range(0, 16, 2)
     }
+
+
+# ------------------------------------------- corpus composition
+
+
+def test_corpus_composition_shares_sum_to_one(spark):
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    out = QUERIES["corpus_composition"][0](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert abs(out.token_share.sum() - 1.0) < 1e-12
+    # pandas recompute of one cell
+    import pandas as pd
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs["n_tokens"] = docs.text.map(
+        lambda t: len([w for w in t.split(" ") if w])
+    )
+    cell = docs[(docs.source == docs.source.iloc[0]) & (docs.lang == "en")]
+    row = out[(out.source == docs.source.iloc[0]) & (out.lang == "en")]
+    assert int(row.n_docs.iloc[0]) == len(cell)
+    assert int(row.n_tokens.iloc[0]) == int(cell.n_tokens.sum())
+    assert row.token_share.iloc[0] == cell.n_tokens.sum() / docs.n_tokens.sum()
