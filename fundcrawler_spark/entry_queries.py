@@ -2387,3 +2387,104 @@ def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("total_tokens"), F.lit(1).cast("long"))
         ).alias("token_share"),
     )
+
+
+# C4-style line-level quality gates + Gopher duplicate-line signals
+# over planted MULTI-LINE docs (fixtures.corpus_line_rows — the shared
+# documents table is single-line). Same cross-engine contract as
+# pii_redact: identical rows inlined into the oracle VALUES, each
+# engine runs its OWN split/regex machinery. Reference corpus rules:
+# Raffel et al. 2020 (C4) §2.2; Rae et al. 2021 (Gopher) §A1.1.
+
+_N_LINE_ROWS = 120
+
+
+def _line_docs_values() -> str:
+    from . import fixtures as fx
+
+    return ",\n".join(
+        f"('{_sql_str(i)}', '{_sql_str(t)}')"
+        for i, t in fx.corpus_line_rows(_N_LINE_ROWS)
+    )
+
+
+def _c4_gates_oracle_sql() -> str:
+    return f"""
+WITH d(doc_id, text) AS (VALUES
+{_line_docs_values()}),
+l AS (
+  SELECT doc_id,
+         CASE WHEN contains(lower(text), 'lorem ipsum')
+                OR contains(text, '{{') THEN 1 ELSE 0 END AS poisoned,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d
+), lk AS (
+  SELECT doc_id, poisoned, length(line) AS n_chars,
+         CASE WHEN regexp_matches(line, '[.!?]$')
+               AND len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+               AND NOT contains(lower(line), 'javascript')
+         THEN 1 ELSE 0 END AS kept
+  FROM l
+), agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         CAST(sum(kept) AS BIGINT) AS n_kept_lines,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars,
+         max(poisoned) AS poisoned
+  FROM lk GROUP BY 1
+)
+SELECT doc_id, n_lines, n_kept_lines, total_chars, kept_chars,
+       CAST(kept_chars AS DOUBLE) / greatest(total_chars, 1)
+         AS kept_char_frac,
+       (n_kept_lines >= 3 AND poisoned = 0) AS doc_kept
+FROM agg
+"""
+
+
+@register("c4_line_gates", _c4_gates_oracle_sql)
+def q_c4_line_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.textstats import c4_line_gates
+
+    docs = spark.createDataFrame(
+        fx.corpus_line_rows(_N_LINE_ROWS), "doc_id string, text string"
+    )
+    return c4_line_gates(docs)
+
+
+def _dup_line_oracle_sql() -> str:
+    return f"""
+WITH d(doc_id, text) AS (VALUES
+{_line_docs_values()}),
+l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+), g AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+  FROM l GROUP BY 1, 2
+), a AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         CAST(sum(cnt * len) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+           AS dup_lines,
+         CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * len ELSE 0 END)
+           AS BIGINT) AS dup_chars
+  FROM g GROUP BY 1
+)
+SELECT doc_id, n_lines, dup_lines,
+       CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+       CAST(dup_chars AS DOUBLE) / greatest(total_chars, 1)
+         AS dup_line_char_frac
+FROM a
+"""
+
+
+@register("dup_line_signals", _dup_line_oracle_sql)
+def q_dup_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.textstats import dup_line_signals
+
+    docs = spark.createDataFrame(
+        fx.corpus_line_rows(_N_LINE_ROWS), "doc_id string, text string"
+    )
+    return dup_line_signals(docs)

@@ -268,6 +268,52 @@ def pii_rows(n: int) -> list[tuple[str, str]]:
     return rows
 
 
+# ----------------------------------------------------- multi-line docs
+
+
+def corpus_line_rows(n: int) -> list[tuple[str, str]]:
+    """(doc_id, text) deterministic MULTI-LINE documents for the
+    line-level corpus gates (the shared ``documents`` table is
+    single-line word soup, so line semantics need planted rows — same
+    contract as ``pii_rows``/``html_rows``: the identical rows are
+    inlined into the DuckDB oracle's VALUES and each engine runs its
+    own split/regex machinery).
+
+    Branches exercised: kept lines (>=5 words, terminal punctuation),
+    short lines, no-terminal-punctuation lines, 'javascript' lines,
+    within-doc DUPLICATED lines (x2 and x3), docs poisoned by 'lorem
+    ipsum' (every 7th) or a curly brace (every 8th), and docs with
+    fewer than 3 kept lines."""
+    rows = []
+    for i in range(n):
+        lines = [
+            f"the fund posted a steady gain of {i % 50} points this quarter.",
+            f"gain {i % 9} noted.",  # <5 words -> dropped
+            f"navigation menu home about contact fund {i % 7} list",  # no punct
+        ]
+        if i % 4 == 0:
+            lines.append(
+                "please enable javascript to view the full fund table today."
+            )
+        if i % 3 == 0:
+            lines.append(lines[0])  # duplicate of the first kept line
+        if i % 5 == 0:
+            lines.append(lines[0])  # second duplicate -> a x3 group
+        lines.append(f"will the {i % 11} holdings rebalance next month?")
+        if i % 2 == 0:
+            lines.append(
+                f"managers reported {i % 13} new positions across both sleeves."
+            )
+        if i % 7 == 3:
+            lines.append(
+                "Lorem ipsum dolor sit amet consectetur adipiscing elit sed."
+            )
+        if i % 8 == 5:
+            lines.append(f"var cfg = {{mode: {i % 6}}} embedded config line.")
+        rows.append((f"line_{i:04d}", "\n".join(lines)))
+    return rows
+
+
 # ------------------------------------------------------------ HTML docs
 
 

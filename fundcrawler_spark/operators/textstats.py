@@ -442,3 +442,122 @@ def lm_quality_scores(
             (F.sum("q").cast("double") / F.count("*")).alias("lm_score"),
         )
     )
+
+
+def split_lines(text: Column) -> Column:
+    """Newline split (mirrors DuckDB ``string_split(text, chr(10))``)."""
+    return F.split(text, "\n")
+
+
+def c4_line_gates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level quality gates (Raffel et al. 2020 §2.2):
+    a line is KEPT iff it ends in terminal punctuation ([.!?]), has at
+    least 5 words, and does not mention 'javascript'; the DOCUMENT is
+    kept iff it retains >= 3 lines and contains neither 'lorem ipsum'
+    nor a curly brace anywhere. Returns per-doc (n_lines,
+    n_kept_lines, total_chars, kept_chars, kept_char_frac, doc_kept).
+
+    Exactness across engines: every aggregate is an int64 count/sum;
+    the single float op is one final int/int division (bit-equal on
+    identical operands in any IEEE engine). Each engine runs its OWN
+    regex/split machinery on identical inlined inputs (same contract
+    as pii_redact / html_text_extract).
+
+    100-TB shape: explode -> map-side-combinable groupBy(doc_id) — no
+    cross-doc hot key is possible (the key IS the doc), no window, no
+    UDF; the doc-level poison predicates are computed before the
+    explode and ride along as an int column folded with max().
+    """
+    t = F.col(text_col)
+    poisoned = (
+        F.lower(t).contains("lorem ipsum") | t.contains("{")
+    ).cast("int")
+    lines = docs.select(
+        F.col(id_col),
+        poisoned.alias("poisoned"),
+        F.explode(split_lines(t)).alias("line"),
+    )
+    kept = (
+        F.col("line").rlike(r"[.!?]$")
+        & (F.size(word_array(F.col("line"))) >= 5)
+        & ~F.lower(F.col("line")).contains("javascript")
+    ).cast("long")
+    agg = (
+        lines.select(
+            id_col,
+            "poisoned",
+            kept.alias("kept"),
+            F.length("line").cast("long").alias("n_chars"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("kept").alias("n_kept_lines"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+            F.max("poisoned").alias("poisoned"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        "total_chars",
+        "kept_chars",
+        (
+            F.col("kept_chars").cast("double")
+            / F.greatest(F.col("total_chars"), F.lit(1).cast("long"))
+        ).alias("kept_char_frac"),
+        ((F.col("n_kept_lines") >= 3) & (F.col("poisoned") == 0)).alias(
+            "doc_kept"
+        ),
+    )
+
+
+def dup_line_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style WITHIN-DOCUMENT duplicate-line signals (Rae et al.
+    2021 §A1.1): per doc, the fraction of lines that are repeats of an
+    earlier identical line (occurrences in excess of the first —
+    ``sum(cnt-1) / n_lines``) and the char-weighted analog
+    ``sum((cnt-1)*len) / total_chars``. Complements the word-n-gram
+    repetition_signals (those are within-line; these catch boilerplate
+    repeated as whole lines, e.g. nav menus).
+
+    Exactness: all-int aggregates, two final int/int divisions.
+
+    100-TB shape: groupBy((doc_id, line)) then groupBy(doc_id) — both
+    keyed by doc_id so no cross-doc hot key; map-side combinable; no
+    window, no UDF.
+    """
+    lines = docs.select(
+        F.col(id_col), F.explode(split_lines(F.col(text_col))).alias("line")
+    )
+    g = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    excess = F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(F.lit(0))
+    agg = g.select(
+        id_col,
+        F.col("cnt"),
+        F.length("line").cast("long").alias("len"),
+        excess.alias("excess"),
+    ).groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") * F.col("len")).alias("total_chars"),
+        F.sum("excess").alias("dup_lines"),
+        F.sum(F.col("excess") * F.col("len")).alias("dup_chars"),
+    )
+    return agg.select(
+        id_col,
+        "n_lines",
+        "dup_lines",
+        (F.col("dup_lines").cast("double") / F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        (
+            F.col("dup_chars").cast("double")
+            / F.greatest(F.col("total_chars"), F.lit(1).cast("long"))
+        ).alias("dup_line_char_frac"),
+    )
