@@ -2488,3 +2488,91 @@ def q_dup_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.corpus_line_rows(_N_LINE_ROWS), "doc_id string, text string"
     )
     return dup_line_signals(docs)
+
+
+# Sequence packing over the documents table: every doc's coordinates
+# in the concatenated fixed-length training-window stream. The Spark
+# side is the distributed two-pass prefix sum (operators/packing.py —
+# range shards + broadcast shard offsets + PARTITIONED window, no
+# single-reducer global window); the oracle states the same semantics
+# as the naive global window DuckDB can afford at sf0.01.
+
+_SEQ_LEN = 512
+
+
+@register(
+    "seq_pack",
+    f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+  FROM d
+)
+SELECT doc_id, n_tokens, cum_prev,
+       cum_prev // {_SEQ_LEN} AS chunk_id,
+       cum_prev % {_SEQ_LEN} AS chunk_offset,
+       (cum_prev % {_SEQ_LEN}) + n_tokens > {_SEQ_LEN} AS spans_chunks
+FROM c
+""",
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+    from .operators.textstats import word_array
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(word_array(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(d, seq_len=_SEQ_LEN)
+
+
+# Corpus-wide duplicated-substring detection over documents: 128-char
+# windows at stride 32 (~ Lee et al. 2022's 50-token threshold),
+# cross-engine polynomial fingerprints (same modulus both sides, so
+# even a hash collision agrees). Spark side is
+# operators/dedup.dup_span_flags; the oracle replays the identical
+# window + hash + count>1 semantics in DuckDB list SQL.
+
+_SPAN_W = 128
+_SPAN_S = 32
+
+
+@register(
+    "dup_span_flags",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length(text) - {_SPAN_W - 1}, 0) + 1, {_SPAN_S}),
+           p -> list_reduce(
+                  list_transform(range(1, {_SPAN_W + 1}),
+                    k -> ascii(substr(text, CAST(p + k - 1 AS INT), 1))
+                         * (k * 31)),
+                  (x, y) -> x + y) % 2147483647)) AS fp
+  FROM documents
+), c AS (
+  SELECT fp, count(*) AS cnt FROM s GROUP BY 1
+), per AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM s JOIN c USING (fp) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       coalesce(per.n_dup_spans, 0) > 0 AS dup_flag
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+)
+def q_dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dup_span_flags
+
+    return dup_span_flags(
+        _t(spark, sf_dir, "documents"), width=_SPAN_W, stride=_SPAN_S
+    )

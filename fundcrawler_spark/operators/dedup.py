@@ -666,3 +666,77 @@ def consensus_near_dups(
         F.col("hamming").alias("phash_hamming"),
         "dhash_hamming",
     )
+
+
+def dup_span_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 128,
+    stride: int = 32,
+) -> DataFrame:
+    """Corpus-wide duplicated-SUBSTRING detection — the distributed
+    fingerprint approximation of suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): fixed-``width`` character windows at a fixed ``stride``
+    are fingerprinted with the cross-engine polynomial hash; a span is
+    DUPLICATED if its fingerprint occurs more than once corpus-wide
+    (a doc repeating its own span counts — within-doc repetition is
+    duplication too). Per doc: ``n_spans``, ``n_dup_spans`` (span
+    occurrences whose fingerprint is duplicated), ``dup_flag``; docs
+    shorter than ``width`` have zero spans and ``dup_flag = false``.
+
+    Fingerprints (int64), not the width-char strings, travel through
+    the shuffle. A fingerprint collision counts as a duplicate in BOTH
+    engines (identical hash both sides) — the documented
+    approximation; production would widen the modulus to 64-bit.
+
+    100-TB shape: explode (~len/stride rows per doc) -> groupBy(fp)
+    count (map-side combinable) -> equi-join back on fp ->
+    groupBy(doc_id). No window, no UDF, no all-pairs stage; a
+    boilerplate span shared by millions of docs stays one (fp, cnt)
+    row in the count table, and the join only fans back out to the
+    occurrences that already exist.
+
+    Default width 128 chars ≈ Lee et al.'s 50-token threshold; on the
+    tiny-vocab synthetic documents table narrower windows saturate
+    (32-char spans collide organically in 100% of docs — measured),
+    while 128/32 keeps organic flags at ~40% and still catches ~96%
+    of the planted near-dup docs.
+    """
+    from .textstats import poly_hash
+
+    t = F.col(text_col)
+    positions = F.when(
+        F.length(t) >= width,
+        F.sequence(
+            F.lit(1), F.length(t) - (width - 1), F.lit(int(stride))
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.transform(positions, lambda p: poly_hash(F.substring(t, p, width)))
+    spans = docs.select(F.col(id_col), F.explode(fps).alias("fp"))
+    cnt = spans.groupBy("fp").agg(F.count("*").alias("cnt"))
+    per = (
+        spans.join(cnt, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+            (F.coalesce("n_dup_spans", F.lit(0).cast("long")) > 0).alias(
+                "dup_flag"
+            ),
+        )
+    )
