@@ -2576,3 +2576,73 @@ def q_dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_flags(
         _t(spark, sf_dir, "documents"), width=_SPAN_W, stride=_SPAN_S
     )
+
+
+# Aspect-ratio bucketed batch composition over the image fixture:
+# nearest-ratio bucket by exact integer math (the SAME generated CASE
+# expression is parsed by both engines), then deterministic batch
+# numbering via the sharded two-pass rank (operators/packing.py). The
+# oracle replays the shard hash, per-shard row_number, and shard
+# offsets in SQL over the FROZEN image meta, so a decode regression
+# shifts only the Spark side.
+
+_ABATCH_SIZE = 8
+_ABATCH_SHARDS = 4
+
+
+def _aspect_buckets_oracle_sql() -> str:
+    from .frozen_phash import FROZEN_IMAGE_META
+    from .operators.packing import aspect_bucket_case_sql
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', {w}, {h})"
+        for i, w, h, _fmt, _ph in FROZEN_IMAGE_META
+        if not i.startswith("dup_")
+    )
+    case_expr = aspect_bucket_case_sql("w", "h")
+    return f"""
+WITH m(image_id, w, h) AS (VALUES
+{values}),
+b AS (
+  SELECT image_id, w, h, {case_expr} AS bucket,
+         {_poly_sql('image_id')} % {_ABATCH_SHARDS} AS shard
+  FROM m
+), r AS (
+  SELECT image_id, w, h, bucket, shard,
+         CAST(row_number() OVER (
+           PARTITION BY bucket, shard ORDER BY image_id) AS BIGINT) - 1
+           AS rs
+  FROM b
+), o AS (
+  SELECT bucket, shard, count(*) AS c FROM b GROUP BY 1, 2
+), o2 AS (
+  SELECT bucket, shard,
+         CAST(coalesce(sum(c) OVER (PARTITION BY bucket ORDER BY shard
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS boff,
+         CAST(sum(c) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+  FROM o
+)
+SELECT r.image_id, r.w, r.h, r.bucket,
+       rs + boff AS rank_in_bucket,
+       (rs + boff) // {_ABATCH_SIZE} AS batch_id,
+       ((rs + boff) // {_ABATCH_SIZE} + 1) * {_ABATCH_SIZE} <= bucket_size
+         AS batch_full
+FROM r JOIN o2 USING (bucket, shard)
+"""
+
+
+@register("images_aspect_buckets", _aspect_buckets_oracle_sql)
+def q_images_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import enrich_images
+    from .operators.packing import aspect_bucket_batches
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
+    )
+    meta = enrich_images(df).select("image_id", "w", "h")
+    return aspect_bucket_batches(
+        meta, batch_size=_ABATCH_SIZE, n_shards=_ABATCH_SHARDS
+    )

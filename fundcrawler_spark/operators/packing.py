@@ -83,3 +83,128 @@ def pack_sequences(
             (F.col("cum_prev") % seq_len) + F.col(tokens_col) > seq_len
         ).alias("spans_chunks"),
     )
+
+
+# --------------------------------------------- aspect-ratio bucketing
+
+# (name, bw, bh) — the fixed ratio grid multimodal trainers bucket
+# into so each batch shares one canvas shape (variable-aspect batches
+# waste pad pixels). First-listed wins distance ties.
+ASPECT_BUCKETS: tuple[tuple[str, int, int], ...] = (
+    ("1:1", 1, 1),
+    ("4:3", 4, 3),
+    ("3:4", 3, 4),
+    ("16:9", 16, 9),
+    ("9:16", 9, 16),
+    ("3:2", 3, 2),
+    ("2:3", 2, 3),
+)
+
+
+def _lcm(nums):
+    import math
+
+    out = 1
+    for n in nums:
+        out = out * n // math.gcd(out, n)
+    return out
+
+
+def aspect_bucket_case_sql(
+    w: str = "w", h: str = "h",
+    buckets: tuple[tuple[str, int, int], ...] = ASPECT_BUCKETS,
+) -> str:
+    """One CASE expression assigning the nearest aspect bucket with
+    EXACT integer math — |w/h - bw/bh| comparisons cross-multiplied
+    and scaled by lcm(bh) so no division ever happens. The SAME string
+    is parsed by Spark (F.expr) and DuckDB, so the assignment cannot
+    drift between engines. First bucket wins ties (CASE first-match ==
+    smallest-index argmin; see test_aspect_buckets for the proof
+    case)."""
+    scale = _lcm([bh for _, _, bh in buckets])
+    ds = [
+        f"(abs({w} * {bh} - {h} * {bw}) * {scale // bh})"
+        for _, bw, bh in buckets
+    ]
+    whens = []
+    for i in range(len(buckets) - 1):
+        cond = " AND ".join(
+            f"{ds[i]} <= {ds[j]}" for j in range(i + 1, len(buckets))
+        )
+        whens.append(f"WHEN {cond} THEN '{buckets[i][0]}'")
+    return (
+        "CASE " + " ".join(whens) + f" ELSE '{buckets[-1][0]}' END"
+    )
+
+
+def aspect_bucket_batches(
+    meta: DataFrame,
+    batch_size: int = 8,
+    id_col: str = "image_id",
+    n_shards: int = 32,
+    buckets: tuple[tuple[str, int, int], ...] = ASPECT_BUCKETS,
+) -> DataFrame:
+    """Aspect-ratio bucketed BATCH composition for image training:
+    assign each image (by its decoded w x h) to the nearest ratio
+    bucket, then number images within each bucket and cut fixed-size
+    batches. Output: (id, w, h, bucket, rank_in_bucket, batch_id,
+    batch_full) — batch_full=false marks the ragged tail batch a
+    loader would drop or pad.
+
+    The naive numbering is row_number() over a window partitioned by
+    BUCKET — a handful of reducers swallowing the whole corpus (the
+    bucket count is ~7, so that's the single-partition anti-pattern
+    with seven partitions). Instead the same two-pass shape as
+    pack_sequences: hash shards WITHIN each bucket (cross-engine
+    poly_hash, so the oracle can replay it), per-(bucket, shard)
+    counts to the driver (bounded: buckets x n_shards rows),
+    exclusive offsets broadcast back, window partitioned by (bucket,
+    shard). Rank is a deterministic bijection 0..bucket_size-1 for
+    any fixed n_shards (shard-major, id-ordered within shard), which
+    is what a training loader needs — reproducible batches, not
+    globally id-sorted ones.
+    """
+    from .textstats import poly_hash
+
+    b = meta.select(
+        F.col(id_col),
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        F.expr(aspect_bucket_case_sql("w", "h", buckets)).alias("bucket"),
+        F.pmod(poly_hash(F.col(id_col)), F.lit(int(n_shards))).alias("shard"),
+    )
+    counts = (
+        b.groupBy("bucket", "shard").agg(F.count("*").alias("c")).collect()
+    )
+    per_bucket: dict[str, list] = {}
+    for r in counts:
+        per_bucket.setdefault(r["bucket"], []).append((r["shard"], r["c"]))
+    rows = []
+    for bucket, shards in per_bucket.items():
+        total = sum(c for _, c in shards)
+        acc = 0
+        for shard, c in sorted(shards):
+            rows.append((bucket, shard, acc, total))
+            acc += c
+    off_df = meta.sparkSession.createDataFrame(
+        rows, "bucket string, shard long, off long, bucket_size long"
+    )
+    w_rank = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    out = (
+        b.join(F.broadcast(off_df), ["bucket", "shard"])
+        .withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .withColumn("rank_in_bucket", F.col("off") + F.col("rn") - 1)
+    )
+    bs = int(batch_size)
+    return out.select(
+        id_col,
+        "w",
+        "h",
+        "bucket",
+        "rank_in_bucket",
+        F.expr(f"rank_in_bucket div {bs}").alias("batch_id"),
+        (
+            (F.expr(f"rank_in_bucket div {bs}") + 1) * bs
+            <= F.col("bucket_size")
+        ).alias("batch_full"),
+    )
