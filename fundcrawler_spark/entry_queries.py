@@ -2646,3 +2646,78 @@ def q_images_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aspect_bucket_batches(
         meta, batch_size=_ABATCH_SIZE, n_shards=_ABATCH_SHARDS
     )
+
+
+# NaViT-style patch-budget packing over the image fixture: exact
+# integer patch counts from the decoded (w, h), capped at the budget,
+# packed in (poly-hash shard, image_id) order. The oracle replays the
+# shard hash, within-shard running sum, and shard offsets in SQL over
+# the FROZEN image meta — bit-exact, because everything is integer
+# math and the hash is the shared cross-engine polynomial.
+
+_PPACK_BUDGET = 256
+_PPACK_PATCH = 16
+_PPACK_SHARDS = 4
+
+
+def _patch_pack_oracle_sql() -> str:
+    from .frozen_phash import FROZEN_IMAGE_META
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', {w}, {h})"
+        for i, w, h, _fmt, _ph in FROZEN_IMAGE_META
+        if not i.startswith("dup_")
+    )
+    return f"""
+WITH m(image_id, w, h) AS (VALUES
+{values}),
+p AS (
+  SELECT image_id, w, h,
+         least(((w + {_PPACK_PATCH - 1}) // {_PPACK_PATCH})
+               * ((h + {_PPACK_PATCH - 1}) // {_PPACK_PATCH}),
+               {_PPACK_BUDGET}) AS n_patches,
+         {_poly_sql('image_id')} % {_PPACK_SHARDS} AS shard
+  FROM m
+), c AS (
+  SELECT image_id, w, h, n_patches, shard,
+         CAST(coalesce(sum(n_patches) OVER (
+           PARTITION BY shard ORDER BY image_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_shard
+  FROM p
+), o AS (
+  SELECT shard, sum(n_patches) AS tot FROM p GROUP BY 1
+), o2 AS (
+  SELECT shard,
+         CAST(coalesce(sum(tot) OVER (ORDER BY shard
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS shard_off
+  FROM o
+)
+SELECT c.image_id, c.w, c.h, CAST(c.n_patches AS BIGINT) AS n_patches,
+       cum_shard + shard_off AS cum_prev,
+       (cum_shard + shard_off) // {_PPACK_BUDGET} AS chunk_id,
+       (cum_shard + shard_off) % {_PPACK_BUDGET} AS chunk_offset,
+       (cum_shard + shard_off) % {_PPACK_BUDGET} + n_patches
+         > {_PPACK_BUDGET} AS spans_chunks
+FROM c JOIN o2 USING (shard)
+"""
+
+
+@register("images_patch_pack", _patch_pack_oracle_sql)
+def q_images_patch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .operators.multimodal import enrich_images
+    from .operators.packing import patch_pack_images
+
+    rows = fx.image_rows(64)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
+    )
+    meta = enrich_images(df).select("image_id", "w", "h")
+    return patch_pack_images(
+        meta,
+        budget=_PPACK_BUDGET,
+        patch=_PPACK_PATCH,
+        n_shards=_PPACK_SHARDS,
+    )

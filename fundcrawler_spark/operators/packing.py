@@ -208,3 +208,84 @@ def aspect_bucket_batches(
             <= F.col("bucket_size")
         ).alias("batch_full"),
     )
+
+
+# --------------------------------------------- patch-budget packing
+
+def patch_pack_images(
+    meta: DataFrame,
+    budget: int = 1024,
+    patch: int = 16,
+    id_col: str = "image_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """NaViT-style patch packing for variable-resolution image
+    training (Dehghani et al. 2023): each image contributes
+    ``n_patches = ceil(w/patch) * ceil(h/patch)`` vision-transformer
+    tokens (capped at ``budget`` — an image too big for one sequence
+    is downsampled to fit, so the cap IS the resize rule), and images
+    are concatenated in a deterministic order into fixed
+    ``budget``-token sequences. Output adds (n_patches, cum_prev,
+    chunk_id, chunk_offset, spans_chunks) — same coordinate system as
+    ``pack_sequences`` gives documents.
+
+    Global order is (shard, image_id) with ``shard =
+    poly_hash(image_id) % n_shards`` — the cross-engine hash, so a SQL
+    oracle can replay the exact packing. The prefix sum never funnels
+    through one reducer: per-shard totals go to the driver (bounded:
+    ``n_shards`` rows), exclusive shard offsets broadcast back, the
+    window is partitioned by shard. Any fixed order works for a
+    training loader; this one is reproducible AND scale-safe.
+    """
+    from .textstats import poly_hash
+
+    b_ = int(budget)
+    p_ = int(patch)
+    base = meta.select(
+        F.col(id_col),
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        F.least(
+            F.expr(f"(CAST(w AS BIGINT) + {p_ - 1}) div {p_}")
+            * F.expr(f"(CAST(h AS BIGINT) + {p_ - 1}) div {p_}"),
+            F.lit(b_).cast("long"),
+        ).alias("n_patches"),
+        F.pmod(poly_hash(F.col(id_col)), F.lit(int(n_shards))).alias("shard"),
+    )
+    totals = base.groupBy("shard").agg(F.sum("n_patches").alias("tot")).collect()
+    offs, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["shard"]):
+        offs.append((r["shard"], acc))
+        acc += r["tot"]
+    if not offs:
+        return meta.sparkSession.createDataFrame(
+            [],
+            f"{id_col} string, w int, h int, n_patches long, cum_prev long, "
+            "chunk_id long, chunk_offset long, spans_chunks boolean",
+        )
+    off_df = meta.sparkSession.createDataFrame(offs, "shard long, shard_off long")
+    w_cum = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(off_df), "shard")
+        .withColumn("cum_incl", F.sum("n_patches").over(w_cum))
+        .withColumn(
+            "cum_prev",
+            F.col("shard_off") + F.col("cum_incl") - F.col("n_patches"),
+        )
+        .select(
+            id_col,
+            "w",
+            "h",
+            "n_patches",
+            "cum_prev",
+            F.expr(f"cum_prev div {b_}").alias("chunk_id"),
+            (F.col("cum_prev") % b_).alias("chunk_offset"),
+            ((F.col("cum_prev") % b_) + F.col("n_patches") > b_).alias(
+                "spans_chunks"
+            ),
+        )
+    )
