@@ -24,6 +24,74 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Predicate ops understood by the pruned scan. Each maps to (can a
+# file with column range [lo, hi] contain a matching row?).
+_PRUNE_OPS = {
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+_SPARK_OPS = {
+    "==": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _collect_file_stats(path: str) -> dict:
+    """Per-column {min, max, null_count, rows} from the parquet FOOTER
+    (pyarrow row-group metadata — no data pages are read, so this
+    costs one footer fetch per file, exactly what real Iceberg pays
+    when writing its manifest entries). Columns whose physical min/max
+    aren't JSON-roundtrippable comparables (binary, nested) are
+    omitted — absent stats mean "never prune", which is always safe."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested — not prunable
+                continue
+            st = col.statistics
+            ent = out.setdefault(
+                name, {"min": None, "max": None, "null_count": 0, "rows": 0}
+            )
+            ent["rows"] += g.num_rows
+            if st is None:
+                ent["min"] = ent["max"] = None
+                ent["unusable"] = True
+                continue
+            ent["null_count"] += st.null_count or 0
+            if not st.has_min_max or ent.get("unusable"):
+                # all-null row group is fine; anything else unusable
+                if st.num_values and st.num_values > 0:
+                    ent["unusable"] = True
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                ent["unusable"] = True
+                continue
+            if not isinstance(mn, (int, float, str, bool)):
+                mn, mx = str(mn), str(mx)
+            if ent["min"] is None or mn < ent["min"]:
+                ent["min"] = mn
+            if ent["max"] is None or mx > ent["max"]:
+                ent["max"] = mx
+    return {
+        k: {x: v[x] for x in ("min", "max", "null_count", "rows")}
+        for k, v in out.items()
+        if not v.get("unusable")
+    }
 
 
 class IcebergLiteTable:
@@ -77,13 +145,17 @@ class IcebergLiteTable:
             for f in os.listdir(sdir)
             if f.endswith(".parquet")
         )
-        prev_files = self._manifest(parent)["files"] if parent else []
+        pm = self._manifest(parent) if parent else {}
+        prev_files = pm.get("files", [])
+        stats = dict(pm.get("stats", {}))
+        stats.update({f: _collect_file_stats(f) for f in files})
         manifest = {
             "snapshot_id": snap,
             "parent": parent,
             "ts": time.time(),
             "files": prev_files + files,
             "added": files,
+            "stats": stats,
             "schema_ddl": df.schema.simpleString(),
         }
         tmp = os.path.join(self.meta_dir, f".v{snap}.json.tmp")
@@ -109,6 +181,7 @@ class IcebergLiteTable:
             "ts": time.time(),
             "files": files,
             "added": files,
+            "stats": {f: _collect_file_stats(f) for f in files},
             "schema_ddl": df.schema.simpleString(),
         }
         tmp = os.path.join(self.meta_dir, f".v{snap}.json.tmp")
@@ -138,3 +211,74 @@ class IcebergLiteTable:
         if not files:
             return None
         return spark.read.parquet(*files)
+
+    # -------------------------------------------------- pruned scan
+
+    def plan_scan(
+        self, predicate: list[tuple] | None = None, at: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-level file pruning — what real Iceberg does at
+        scan planning: a data file is skipped when its per-column
+        [min, max] (collected from the parquet footer at commit time)
+        proves no row can satisfy the conjunctive ``predicate``
+        (list of ``(col, op, value)`` with op in ==, <, <=, >, >=).
+        Returns (files_to_read, total_files). Missing stats for a
+        referenced column keep the file (pruning is only ever an
+        optimization, never a correctness decision); a file whose
+        column is entirely NULL is pruned because every supported op
+        is null-rejecting. At 100 TB this is the difference between
+        opening every file and opening the handful whose ranges
+        overlap the query."""
+        snap = at if at is not None else self.current_snapshot()
+        if snap is None:
+            return [], 0
+        m = self._manifest(snap)
+        files, stats = m["files"], m.get("stats", {})
+        if not predicate:
+            return list(files), len(files)
+        kept = []
+        for f in files:
+            fstats = stats.get(f, {})
+            keep = True
+            for col, op, val in predicate:
+                ent = fstats.get(col)
+                if ent is None or op not in _PRUNE_OPS:
+                    continue
+                if ent["min"] is None:  # column all-NULL in this file
+                    if ent["rows"] > 0 and ent["null_count"] == ent["rows"]:
+                        keep = False
+                        break
+                    continue
+                if not _PRUNE_OPS[op](ent["min"], ent["max"], val):
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        return kept, len(files)
+
+    def scan(
+        self,
+        spark: SparkSession,
+        predicate: list[tuple] | None = None,
+        at: int | None = None,
+    ) -> DataFrame | None:
+        """read() + manifest file pruning + the residual Spark filter
+        (pruning is coarse; the filter is exact — same split real
+        Iceberg uses). Returns None for an empty/unwritten table; an
+        everything-pruned scan returns an empty DataFrame with the
+        committed schema."""
+        snap = at if at is not None else self.current_snapshot()
+        if snap is None:
+            return None
+        kept, total = self.plan_scan(predicate, at=snap)
+        m = self._manifest(snap)
+        if not m["files"]:
+            return None
+        if kept:
+            df = spark.read.parquet(*kept)
+        else:
+            df = spark.read.parquet(m["files"][0]).limit(0)
+        for col, op, val in predicate or []:
+            if op in _SPARK_OPS:
+                df = df.filter(_SPARK_OPS[op](F.col(col), F.lit(val)))
+        return df

@@ -63,3 +63,95 @@ def test_table_io_contract(spark, table_io):
     assert s3 not in (s1, s2)
     assert t.read(spark, at=s2).count() == 8
     assert t.read(spark).count() == 2
+
+
+def _ranged_table(spark, d, n_batches=8, rows=100):
+    """Each append holds a disjoint id range -> per-file min/max are
+    tight and pruning is provable."""
+    t = IcebergLiteTable(d + "/t")
+    for b in range(n_batches):
+        t.append(
+            spark.range(b * rows, (b + 1) * rows).selectExpr(
+                "id AS x",
+                "CAST(id AS DOUBLE) / 10 AS score",
+                "concat('host', lpad(CAST(id % 5 AS STRING), 2, '0')) AS host",
+            )
+        )
+    return t
+
+
+def test_scan_prunes_files_by_manifest_stats(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d)
+        # equality inside one batch's range -> exactly that batch's files
+        kept, total = t.plan_scan([("x", "==", 250)])
+        assert total > kept.__len__() >= 1
+        assert all("/data/s" in f for f in kept)
+        # every kept file really spans 250
+        stats = t._manifest(t.current_snapshot())["stats"]
+        for f in kept:
+            assert stats[f]["x"]["min"] <= 250 <= stats[f]["x"]["max"]
+        # range predicate prunes the low batches
+        kept_hi, _ = t.plan_scan([("x", ">=", 700)])
+        assert len(kept_hi) < total
+        # the pruned scan result == unpruned filter result
+        got = sorted(
+            r["x"] for r in t.scan(spark, [("x", ">=", 700)]).collect()
+        )
+        want = sorted(
+            r["x"] for r in t.read(spark).filter("x >= 700").collect()
+        )
+        assert got == want and len(got) == 100
+
+
+def test_scan_residual_filter_is_exact(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d)
+        # file-level stats cannot decide x == 250 alone (the file
+        # spans 200..299): residual filter must cut it to one row
+        out = t.scan(spark, [("x", "==", 250), ("score", "<=", 25.0)])
+        assert [r["x"] for r in out.collect()] == [250]
+
+
+def test_scan_string_stats_and_unprunable_columns(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d)
+        kept, total = t.plan_scan([("host", "==", "host04")])
+        # every file holds host00..host04 -> strings prunable but
+        # nothing pruned (correctly)
+        assert len(kept) == total
+        got = t.scan(spark, [("host", "==", "host99")]).count()
+        assert got == 0
+
+
+def test_scan_all_pruned_returns_empty_with_schema(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d, n_batches=2)
+        df = t.scan(spark, [("x", ">=", 10_000)])
+        assert df.count() == 0
+        assert set(df.columns) == {"x", "score", "host"}
+
+
+def test_scan_time_travel_and_missing_stats_keep_file(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d, n_batches=4)
+        s2 = 2
+        kept, total = t.plan_scan([("x", ">=", 150)], at=s2)
+        assert total == sum(1 for _ in t._manifest(s2)["files"])
+        # unknown column -> never prunes, scan still correct
+        kept2, total2 = t.plan_scan([("nope_col", ">=", 150)])
+        assert len(kept2) == total2
+        assert t.scan(spark, [], at=s2).count() == 200
+
+
+def test_scan_prunes_all_null_column_files(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = IcebergLiteTable(d + "/t")
+        t.append(spark.range(0, 50).selectExpr("id AS x", "CAST(NULL AS BIGINT) AS y"))
+        t.append(spark.range(50, 100).selectExpr("id AS x", "id AS y"))
+        kept, total = t.plan_scan([("y", ">=", 0)])
+        n_batch1 = len(t._manifest(1)["files"])
+        assert len(kept) == total - n_batch1  # all-null files pruned
+        stats = t._manifest(t.current_snapshot())["stats"]
+        assert all(stats[f]["y"]["min"] is not None for f in kept)
+        assert t.scan(spark, [("y", ">=", 0)]).count() == 50
