@@ -201,6 +201,64 @@ class IcebergLiteTable:
         assert snapshot_id in self.snapshots(), snapshot_id
         self._set_current(snapshot_id)
 
+    # -------------------------------------------------- maintenance
+
+    def compact(self, spark: SparkSession, target_rows: int = 1 << 20) -> int:
+        """Rewrite the CURRENT snapshot's many small data files into
+        ~``target_rows``-row files as a new snapshot (real Iceberg's
+        rewrite_data_files). The crawl loop appends a handful of tiny
+        files every wave — thousands of waves mean thousands of files,
+        and at 100 TB scan planning and footer reads start to cost
+        more than the data. Row set is unchanged (same rows, no
+        ordering contract, like Iceberg's bin-pack strategy); old
+        snapshots still reference the old files until
+        ``expire_snapshots`` garbage-collects them."""
+        df = self.read(spark)
+        if df is None:
+            raise ValueError("cannot compact an empty table")
+        total = df.count()
+        n_files = max(1, -(-total // max(1, int(target_rows))))
+        return self.overwrite(df.repartition(n_files))
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` snapshots (the current
+        one is always kept) and DELETE data files referenced only by
+        the dropped ones — Iceberg's expire_snapshots maintenance.
+        Without it every compaction/overwrite leaks its superseded
+        files forever. Returns {"expired": [ids], "deleted_files": n}.
+        Time travel to expired ids stops working, by design."""
+        snaps = self.snapshots()
+        cur = self.current_snapshot()
+        keep = set(snaps[-max(1, int(keep_last)):])
+        if cur is not None:
+            keep.add(cur)
+        expired = [s for s in snaps if s not in keep]
+        if not expired:
+            return {"expired": [], "deleted_files": 0}
+        live = set()
+        for s in keep:
+            live.update(self._manifest(s)["files"])
+        deleted = 0
+        handled = set(live)
+        for s in expired:
+            for f in self._manifest(s)["files"]:
+                if f not in handled:
+                    handled.add(f)
+                    if os.path.exists(f):
+                        os.remove(f)
+                        deleted += 1
+            os.remove(os.path.join(self.meta_dir, f"v{s}.json"))
+        # sweep now-empty data dirs so workdirs don't accrete husks
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full) and not any(
+                n.endswith(".parquet") for n in os.listdir(full)
+            ):
+                import shutil
+
+                shutil.rmtree(full)
+        return {"expired": expired, "deleted_files": deleted}
+
     # ----------------------------------------------------------- read
 
     def read(self, spark: SparkSession, at: int | None = None) -> DataFrame | None:

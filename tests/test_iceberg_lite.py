@@ -155,3 +155,52 @@ def test_scan_prunes_all_null_column_files(spark):
         stats = t._manifest(t.current_snapshot())["stats"]
         assert all(stats[f]["y"]["min"] is not None for f in kept)
         assert t.scan(spark, [("y", ">=", 0)]).count() == 50
+
+
+def test_compact_rewrites_small_files_same_rows(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d, n_batches=8, rows=50)
+        before = t._manifest(t.current_snapshot())["files"]
+        pre = sorted(r["x"] for r in t.read(spark).collect())
+        s = t.compact(spark, target_rows=10_000)  # -> 1 file
+        m = t._manifest(s)
+        assert len(m["files"]) < len(before)
+        assert sorted(r["x"] for r in t.read(spark).collect()) == pre
+        # compacted files get fresh manifest stats (pruning still works)
+        kept, total = t.plan_scan([("x", ">=", 10_000)])
+        assert kept == []
+        # pre-compaction snapshot still time-travels
+        assert t.read(spark, at=s - 1).count() == len(pre)
+
+
+def test_expire_snapshots_deletes_only_dead_files(spark):
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d, n_batches=4, rows=50)
+        t.compact(spark, target_rows=10_000)
+        live_before = t._manifest(t.current_snapshot())["files"]
+        res = t.expire_snapshots(keep_last=1)
+        assert len(res["expired"]) == 4
+        assert res["deleted_files"] > 0
+        # current snapshot fully intact
+        assert all(os.path.exists(f) for f in live_before)
+        assert t.read(spark).count() == 200
+        assert t.snapshots() == [t.current_snapshot()]
+        # idempotent
+        assert t.expire_snapshots(keep_last=1) == {
+            "expired": [], "deleted_files": 0
+        }
+
+
+def test_expire_keeps_current_after_rollback(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d, n_batches=3, rows=20)
+        t.rollback(2)
+        res = t.expire_snapshots(keep_last=1)
+        # current (2) is kept even though it is not the last snapshot
+        assert 2 not in res["expired"]
+        assert t.read(spark).count() == 40
+        # snapshot 1's files are shared with 2 (append lineage) -> the
+        # shared ones must survive; full read still works
+        assert t.read(spark, at=t.current_snapshot()).count() == 40
