@@ -270,6 +270,51 @@ class IcebergLiteTable:
             return None
         return spark.read.parquet(*files)
 
+    # ---------------------------------------------- incremental read
+
+    def read_incremental(
+        self, spark: SparkSession, since: int, to: int | None = None
+    ) -> DataFrame | None:
+        """Iceberg's incremental append scan: ONLY the rows in data
+        files committed after snapshot ``since`` up to ``to`` (default
+        current). This is what lets a downstream corpus build refresh
+        from a continuously-appending crawl without rescanning 100 TB
+        of already-processed pages — read the delta, process, remember
+        the new snapshot id. Walks the parent chain so snapshots on an
+        abandoned (rolled-back) timeline are never replayed; raises if
+        ``since`` is not an ancestor of ``to`` (the delta would be
+        undefined). ``since=0`` means "from the beginning". Overwrite
+        (replace) snapshots in the range raise too — their delta is
+        not expressible as appended files, same contract as Iceberg's
+        incremental scan."""
+        end = to if to is not None else self.current_snapshot()
+        if end is None:
+            return None
+        chain = []
+        s = end
+        while s is not None and s != since:
+            m = self._manifest(s)
+            chain.append(m)
+            s = m.get("parent")
+        if s != since and since != 0:
+            raise ValueError(
+                f"snapshot {since} is not an ancestor of {end}"
+            )
+        added: list[str] = []
+        for m in reversed(chain):
+            if m.get("parent") is not None and not set(
+                self._manifest(m["parent"])["files"]
+            ) <= set(m["files"]):
+                raise ValueError(
+                    f"snapshot {m['snapshot_id']} replaced files "
+                    "(overwrite/compaction) — incremental append scan "
+                    "undefined across it"
+                )
+            added.extend(m.get("added", []))
+        if not added:
+            return None
+        return spark.read.parquet(*added)
+
     # -------------------------------------------------- pruned scan
 
     def plan_scan(

@@ -135,6 +135,12 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=3)
     ap.add_argument("--max-top2gram", type=float, default=0.20)
     ap.add_argument("--max-dup5gram", type=float, default=0.15)
+    ap.add_argument(
+        "--since-snapshot", type=int, default=None,
+        help="incremental refresh: only pages appended after this "
+             "pages-table snapshot id (from a previous run's "
+             "pages_snapshot output) are processed",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -144,15 +150,23 @@ def main() -> None:
     spark = SparkSession.builder.appName("fundcrawler-corpus").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    pages = IcebergLiteTable(
-        os.path.join(args.crawl_workdir, "tables", "pages")
-    ).read(spark)
+    tbl = IcebergLiteTable(os.path.join(args.crawl_workdir, "tables", "pages"))
+    if args.since_snapshot is not None:
+        pages = tbl.read_incremental(spark, since=args.since_snapshot)
+        if pages is None:
+            print(json.dumps({"docs": 0, "note": "no new pages",
+                              "pages_snapshot": tbl.current_snapshot()}))
+            spark.stop()
+            return
+    else:
+        pages = tbl.read(spark)
     if pages is None:
         raise SystemExit(f"no pages table under {args.crawl_workdir}")
 
     corpus, composition, stats = build_corpus(
         spark, pages, args.min_tokens, args.max_top2gram, args.max_dup5gram
     )
+    stats["pages_snapshot"] = tbl.current_snapshot()
     corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     composition.write.mode("overwrite").parquet(
         os.path.join(args.out, "composition")

@@ -204,3 +204,56 @@ def test_expire_keeps_current_after_rollback(spark):
         # snapshot 1's files are shared with 2 (append lineage) -> the
         # shared ones must survive; full read still works
         assert t.read(spark, at=t.current_snapshot()).count() == 40
+
+
+def test_read_incremental_returns_only_delta(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = IcebergLiteTable(d + "/t")
+        s1 = t.append(spark.range(0, 10).selectExpr("id AS x"))
+        s2 = t.append(spark.range(10, 15).selectExpr("id AS x"))
+        s3 = t.append(spark.range(15, 18).selectExpr("id AS x"))
+        got = sorted(r["x"] for r in t.read_incremental(spark, since=s1).collect())
+        assert got == list(range(10, 18))
+        got2 = sorted(
+            r["x"] for r in t.read_incremental(spark, since=s1, to=s2).collect()
+        )
+        assert got2 == list(range(10, 15))
+        # since current -> no delta
+        assert t.read_incremental(spark, since=s3) is None
+        # since=0 -> everything
+        assert t.read_incremental(spark, since=0).count() == 18
+
+
+def test_read_incremental_rejects_non_ancestor_and_overwrite(spark):
+    import pytest as _pytest
+
+    with tempfile.TemporaryDirectory() as d:
+        t = IcebergLiteTable(d + "/t")
+        s1 = t.append(spark.range(0, 5).selectExpr("id AS x"))
+        t.rollback(s1)  # no-op branch point
+        s2 = t.append(spark.range(5, 9).selectExpr("id AS x"))
+        t.rollback(s1)
+        s3 = t.append(spark.range(9, 12).selectExpr("id AS x"))
+        # s2 lives on the abandoned timeline: not an ancestor of s3
+        with _pytest.raises(ValueError, match="not an ancestor"):
+            t.read_incremental(spark, since=s2, to=s3)
+        # a compaction (overwrite) inside the range is rejected
+        t.compact(spark, target_rows=10_000)
+        with _pytest.raises(ValueError, match="incremental append scan"):
+            t.read_incremental(spark, since=s1)
+
+
+def test_incremental_corpus_refresh_equals_full_minus_seen(spark):
+    """The corpus-job pattern: build at snapshot k, later refresh with
+    read_incremental(since=k) — the union of the two deltas covers
+    every page exactly once."""
+    with tempfile.TemporaryDirectory() as d:
+        t = IcebergLiteTable(d + "/t")
+        t.append(spark.range(0, 30).selectExpr("id AS x"))
+        k = t.current_snapshot()
+        first = {r["x"] for r in t.read(spark).collect()}
+        t.append(spark.range(30, 50).selectExpr("id AS x"))
+        t.append(spark.range(50, 55).selectExpr("id AS x"))
+        delta = {r["x"] for r in t.read_incremental(spark, since=k).collect()}
+        assert first | delta == set(range(55))
+        assert first & delta == set()
