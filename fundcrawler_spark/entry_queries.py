@@ -2721,3 +2721,47 @@ def q_images_patch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         patch=_PPACK_PATCH,
         n_shards=_PPACK_SHARDS,
     )
+
+
+# Temperature-scaled mixture sampling (T=2: shares ~ sqrt(count)) over
+# the documents table — the mT5/CCNet low-resource up-weighting step.
+# All integer math + the cross-engine polynomial hash, so the oracle
+# replays the exact sampled id SET. floor(sqrt(c)) in SQL == the
+# operator's math.isqrt for any realistic count (see operators/
+# sampling.py docstring).
+
+_MIX_BUDGET = 200
+_MIX_KEY_SQL = "concat(CAST(d.doc_id AS VARCHAR), '|mix')"
+_MIX_HASH_SQL = (
+    f"({_poly_sql(_MIX_KEY_SQL)}"
+    " * 48271 % 2147483647 * 48271 % 2147483647)"
+)
+
+
+@register(
+    "mixture_sample",
+    f"""
+WITH c AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY 1
+), w AS (
+  SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS wt FROM c
+), s AS (
+  SELECT sum(wt) AS sw FROM w
+), t AS (
+  SELECT lang,
+         CAST(least(1000000,
+           (1000000 * {_MIX_BUDGET} * wt) // (sw * cnt)) AS BIGINT)
+           AS sample_threshold
+  FROM w, s
+)
+SELECT d.doc_id, d.lang, t.sample_threshold
+FROM documents d JOIN t USING (lang)
+WHERE {_MIX_HASH_SQL} % 1000000 < t.sample_threshold
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(d, budget=_MIX_BUDGET, group_col="lang",
+                          id_col="doc_id", isqrt_iters=1)
