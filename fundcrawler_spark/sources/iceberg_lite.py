@@ -352,7 +352,11 @@ class IcebergLiteTable:
                         keep = False
                         break
                     continue
-                if not _PRUNE_OPS[op](ent["min"], ent["max"], val):
+                try:
+                    overlap = _PRUNE_OPS[op](ent["min"], ent["max"], val)
+                except TypeError:
+                    continue  # type-mismatched predicate: never prune
+                if not overlap:
                     keep = False
                     break
             if keep:

@@ -257,3 +257,12 @@ def test_incremental_corpus_refresh_equals_full_minus_seen(spark):
         delta = {r["x"] for r in t.read_incremental(spark, since=k).collect()}
         assert first | delta == set(range(55))
         assert first & delta == set()
+
+
+def test_scan_type_mismatched_predicate_never_prunes(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _ranged_table(spark, d, n_batches=2)
+        # int predicate against the string column: planning must keep
+        # every file (and Spark's own cast semantics decide the rows)
+        kept, total = t.plan_scan([("host", ">=", 5)])
+        assert len(kept) == total
