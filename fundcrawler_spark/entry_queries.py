@@ -2765,3 +2765,65 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return mixture_sample(d, budget=_MIX_BUDGET, group_col="lang",
                           id_col="doc_id", isqrt_iters=1)
+
+
+# Fixed-point PageRank over the click-transition graph derived from
+# events (consecutive events per user -> page edges, pages =
+# event_id % N): the crawl-frontier prioritization signal (OPIC /
+# PageRank crawl ordering). Every arithmetic step is integer math —
+# per-edge contribution (rank*85) div (100*outdeg) — so the
+# per-destination sums are order-independent and the oracle unrolls
+# the SAME three iterations in SQL bit-exactly.
+
+_PR_PAGES = 50
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000_000
+
+
+def _pagerank_oracle_sql() -> str:
+    base = (_PR_SCALE * 15) // 100
+    sql = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_id % {_PR_PAGES} AS page FROM events
+), tr AS (
+  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         page AS dst
+  FROM ev
+), e AS (
+  SELECT src, dst FROM tr WHERE src IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), od AS (
+  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+), r0 AS (
+  SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes
+)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""", c{i} AS (
+  SELECT e.dst AS node,
+         sum((r.rank * 85) // (100 * od.outdeg)) AS s
+  FROM e JOIN r{i - 1} r ON r.node = e.src JOIN od ON od.src = e.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT n.node, CAST({base} + coalesce(c{i}.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} USING (node)
+)"""
+    return sql + f"\nSELECT node, rank FROM r{_PR_ITERS}"
+
+
+@register("link_pagerank", _pagerank_oracle_sql)
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_fixed_point
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("event_id") % _PR_PAGES).alias("page"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("src", F.lag("page").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("page")))
+    )
+    edges = tr.select("src", F.col("page").alias("dst"))
+    return pagerank_fixed_point(edges, iters=_PR_ITERS, scale=_PR_SCALE)
