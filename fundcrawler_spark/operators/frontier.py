@@ -82,3 +82,36 @@ def add_urls(frontier: DataFrame, new_urls: DataFrame) -> DataFrame:
     """Frontier growth (recursive crawls): unionByName after dedup
     against the frontier itself is the caller's job via SeenSet."""
     return frontier.unionByName(new_urls.select(*frontier.columns))
+
+
+def with_priority_scores(
+    frontier: DataFrame,
+    scores: DataFrame,
+    key_col: str = "seed_index",
+    score_col: str = "rank",
+    default_score: int = 0,
+) -> DataFrame:
+    """OPIC/PageRank frontier prioritization: override the default
+    FIFO priority (seed order) with ``-score``. `admission_order`
+    sorts priority ASCENDING after retry-first, so higher-scored
+    pages are fetched earlier while the retry-first invariant — the
+    reference's semantics — is untouched. Unscored rows fall back to
+    ``-default_score`` (with default 0, after every positively-scored
+    row).
+
+    scores is small by construction (one row per seed/host/page
+    node, e.g. `operators/graph.pagerank_fixed_point` output) —
+    broadcast join, the wide frontier never shuffles.
+    """
+    s = scores.select(
+        F.col(key_col),
+        F.col(score_col).cast("long").alias("__score"),
+    )
+    return (
+        frontier.join(F.broadcast(s), key_col, "left")
+        .withColumn(
+            "priority",
+            -F.coalesce(F.col("__score"), F.lit(int(default_score)).cast("long")),
+        )
+        .drop("__score")
+    )

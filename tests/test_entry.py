@@ -105,3 +105,46 @@ def test_frozen_bpe_fixture_reproduced():
     from fundcrawler_spark.frozen_bpe import FROZEN_BPE_COUNTS
 
     assert compute_entries() == FROZEN_BPE_COUNTS
+
+
+def test_priority_scores_reorder_admission(spark):
+    """with_priority_scores + admit: higher-scored seeds win the
+    budget, retry-first still dominates everything."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.fixtures import seed_rows
+    from fundcrawler_spark.operators.frontier import (
+        seeds_to_frontier,
+        with_priority_scores,
+    )
+    from fundcrawler_spark.operators.politeness import admit
+
+    seeds = spark.createDataFrame(
+        seed_rows(6), "fund_code string, fund_name string, seed_index long"
+    )
+    frontier = seeds_to_frontier(seeds)
+    host = frontier.select("host").first()["host"]
+
+    # seed 5 outranks everyone; seed 0 (the FIFO winner) scores lowest
+    scores = spark.createDataFrame(
+        [(i, (i + 1) * 1000) for i in range(6)], "seed_index long, rank long"
+    )
+    prio = with_priority_scores(frontier, scores)
+
+    got = admit(prio, {host: 4}, max_budget=4).select(
+        "seed_index", "page_type"
+    ).collect()
+    assert {r["seed_index"] for r in got} == {5}  # all 4 pages of top seed
+
+    # a retry row from the lowest-scored seed still preempts
+    retry = prio.withColumn(
+        "retry_count",
+        F.when(F.col("seed_index") == 0, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+    )
+    got2 = admit(retry, {host: 4}, max_budget=4).collect()
+    assert {r["seed_index"] for r in got2} == {0}
+
+    # unscored rows fall back AFTER scored ones
+    part = with_priority_scores(frontier, scores.filter("seed_index = 3"))
+    got3 = admit(part, {host: 4}, max_budget=4).collect()
+    assert {r["seed_index"] for r in got3} == {3}
