@@ -94,6 +94,34 @@ def _collect_file_stats(path: str) -> dict:
     }
 
 
+def maintain_tables(
+    spark: SparkSession,
+    tables: list["IcebergLiteTable"],
+    target_rows: int = 1 << 20,
+    expire_keep: int | None = None,
+) -> dict:
+    """Post-crawl maintenance sweep: compact each non-empty table's
+    small per-wave files, optionally expire old snapshots (expiry
+    forfeits time travel / resume into the expired range — only for a
+    FINISHED crawl). Returns per-table before/after file counts."""
+    report = {}
+    for t in tables:
+        name = os.path.basename(t.path)
+        if t.current_snapshot() is None:
+            report[name] = {"skipped": "empty"}
+            continue
+        before = len(t._manifest(t.current_snapshot())["files"])
+        t.compact(spark, target_rows=target_rows)
+        entry = {
+            "files_before": before,
+            "files_after": len(t._manifest(t.current_snapshot())["files"]),
+        }
+        if expire_keep is not None:
+            entry["expired"] = t.expire_snapshots(keep_last=expire_keep)
+        report[name] = entry
+    return report
+
+
 class IcebergLiteTable:
     def __init__(self, path: str):
         self.path = path

@@ -26,6 +26,14 @@ def main() -> None:
     ap.add_argument("--fail-rate", type=float, default=0.0)
     ap.add_argument("--max-waves", type=int, default=200)
     ap.add_argument("--init-budget", type=float, default=None)
+    ap.add_argument("--compact", action="store_true",
+                    help="after the crawl: bin-pack each table's "
+                         "per-wave small files into ~1M-row files")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="with --compact: drop all but the last N "
+                         "snapshots per table and delete their dead "
+                         "files (forfeits resume/time-travel — only "
+                         "for a finished crawl)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,6 +56,15 @@ def main() -> None:
     else:
         seeds = spark.createDataFrame(fx.seed_rows(args.seeds), SEEDS_SCHEMA)
         stats = crawler.run(seeds=seeds, overwrite=args.overwrite)
+    if args.compact:
+        from fundcrawler_spark.sources.iceberg_lite import maintain_tables
+
+        stats["maintenance"] = maintain_tables(
+            spark,
+            [crawler.pages, crawler.images, crawler.results,
+             crawler.fetch_log],
+            expire_keep=args.expire_keep,
+        )
     print(json.dumps(stats))
     spark.stop()
 

@@ -266,3 +266,20 @@ def test_scan_type_mismatched_predicate_never_prunes(spark):
         # every file (and Spark's own cast semantics decide the rows)
         kept, total = t.plan_scan([("host", ">=", 5)])
         assert len(kept) == total
+
+
+def test_maintain_tables_sweep(spark):
+    from fundcrawler_spark.sources.iceberg_lite import maintain_tables
+
+    with tempfile.TemporaryDirectory() as d:
+        t1 = IcebergLiteTable(d + "/pages")
+        for b in range(5):
+            t1.append(spark.range(b * 20, (b + 1) * 20).selectExpr("id AS x"))
+        t2 = IcebergLiteTable(d + "/images")  # stays empty
+        rep = maintain_tables(spark, [t1, t2], expire_keep=1)
+        assert rep["images"]["skipped"] == "empty"
+        r1 = rep["pages"]
+        assert r1["files_after"] < r1["files_before"]
+        assert len(r1["expired"]["expired"]) == 5
+        assert t1.read(spark).count() == 100
+        assert t1.snapshots() == [t1.current_snapshot()]
