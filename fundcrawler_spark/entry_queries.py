@@ -2827,3 +2827,41 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = tr.select("src", F.col("page").alias("dst"))
     return pagerank_fixed_point(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+
+
+# Exact per-group quantiles over events.value — the latency-summary
+# aggregate every crawl/ops dashboard needs (p50/p95/p99). Spark's
+# exact `percentile` and DuckDB's `quantile_cont` share the same
+# definition (linear interpolation at rank p*(n-1)); both sides
+# compute it over IDENTICAL doubles, and the interpolation is one
+# multiply-add on two adjacent order statistics, so the results are
+# bit-identical. Scale shape: exact quantiles shuffle each group's
+# values to one reducer — fine for bounded group cardinality
+# (event_type here); unbounded keys would switch to approx_percentile
+# and lose the oracle, which is exactly the trade the docstring of
+# this query exists to record.
+
+
+@register(
+    "event_value_quantiles",
+    """
+SELECT event_type,
+       count(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+            F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+        )
+    )

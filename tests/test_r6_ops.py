@@ -520,3 +520,26 @@ def test_corpus_composition_shares_sum_to_one(spark):
     assert int(row.n_docs.iloc[0]) == len(cell)
     assert int(row.n_tokens.iloc[0]) == int(cell.n_tokens.sum())
     assert row.token_share.iloc[0] == cell.n_tokens.sum() / docs.n_tokens.sum()
+
+
+def test_event_value_quantiles_hand_case(spark):
+    """Exact percentile == linear interpolation at rank p*(n-1)."""
+    from fundcrawler_spark.entry_queries import QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+        df = spark.createDataFrame(
+            [(i, "a", v) for i, v in enumerate(vals)],
+            "event_id long, event_type string, value double",
+        )
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        fn, _ = QUERIES["event_value_quantiles"]
+        row = fn(spark, d).collect()[0]
+        assert row["n"] == 5
+        assert row["p50"] == 3.0                      # rank 2
+        # rank 3.8 / 3.96 — tolerance because the interpolation's
+        # float op ORDER is engine-internal; the oracle row proves
+        # Spark == DuckDB bit-exactly, this proves the definition
+        assert abs(row["p95"] - (4.0 + 0.8 * 6.0)) < 1e-12
+        assert abs(row["p99"] - (4.0 + 0.96 * 6.0)) < 1e-12
