@@ -999,6 +999,16 @@ def _poly_sql(g: str) -> str:
     )
 
 
+def _horner_sql(g: str) -> str:
+    """textstats.horner_hash as inline DuckDB SQL (list_reduce with no
+    init starts from codepoint_0, identical to Horner from 0)."""
+    return (
+        f"(list_reduce(list_transform(range(1, length({g}) + 1), "
+        f"ch_i -> CAST(ascii(substr({g}, CAST(ch_i AS INT), 1)) AS BIGINT)), "
+        f"(h_acc, h_c) -> (h_acc * 131 + h_c) % 2147483647))"
+    )
+
+
 _SHINGLES_SQL = (
     "list_sort(list_distinct(list_transform("
     "range(1, greatest(length(text) - 2, 1) + 1), "
@@ -2864,4 +2874,129 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
             F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
         )
+    )
+
+
+# -------------------------------- incremental near-dup (batch vs corpus)
+# The ingest-time dedup gate: a new crawl batch (deterministic split:
+# doc_id % 5 == 0) is probed against the EXISTING corpus's banded
+# MinHash index instead of re-pairing the whole corpus — the shape that
+# makes near-dup affordable per-crawl at 100 TB (O(batch x collisions),
+# |corpus| enters only through the persisted index join). Candidate
+# recall guarantee is identical to neardup_jaccard (same two OR-composed
+# families), and the exact char-3-gram Jaccard verify makes the output
+# the exact cross-split pair set — so the oracle is the plain
+# batch-x-corpus Jaccard scan.
+@register(
+    "incremental_neardup",
+    f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents)
+SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+  len(list_intersect(b.grams, c.grams))
+    / (len(b.grams) + len(c.grams) - len(list_intersect(b.grams, c.grams))) AS jaccard
+FROM sh b JOIN sh c ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+WHERE len(list_intersect(b.grams, c.grams))
+    / (len(b.grams) + len(c.grams) - len(list_intersect(b.grams, c.grams))) >= 0.85
+""",
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_neardup_pairs(corpus, batch, threshold=0.85)
+
+
+# ------------------------------- count-min sketch heavy-hitter estimates
+# Fixed-size mergeable frequency summary (operators/sketch.py): the
+# sketch build shuffles <= depth*width (seed, bucket) keys no matter
+# the corpus size (map-side partial counts do everything), and every
+# hash is shared-poly_hash integer math, so the whole sketch is
+# bit-reproducible in SQL. The token stream is char-3-gram OCCURRENCES
+# (the whitespace vocab of this synthetic corpus is only 31 tokens —
+# collision-free at any width) and the demo width is 256 < |vocab|=377,
+# so real bucket collisions occur and the CMS guarantee
+# estimate >= exact is exercised with genuine slack, row by row, for
+# the exact top-50 grams.
+_CMS_DEMO_WIDTH = 256
+_CMS_TOK_SQL = (
+    "unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1), "
+    "g_i -> substr(lower(text), CAST(g_i AS INT), 3)))"
+)
+
+
+def _cms_oracle_sql() -> str:
+    from .operators.sketch import CMS_SEEDS
+
+    seeds_values = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_SEEDS)
+    )
+    return f"""
+WITH tok AS (SELECT {_CMS_TOK_SQL} AS token FROM documents),
+h AS (SELECT token, {_horner_sql('token')} AS ph FROM tok),
+seeds(seed, a, b) AS (VALUES {seeds_values}),
+sk AS (
+  SELECT seed, ((a * ph + b) % 2147483647) % {_CMS_DEMO_WIDTH} AS bucket, count(*) AS c
+  FROM h CROSS JOIN seeds GROUP BY 1, 2),
+exact AS (
+  SELECT token, min(ph) AS ph, count(*) AS exact_n FROM h GROUP BY token
+  ORDER BY exact_n DESC, token ASC LIMIT 50),
+probes AS (
+  SELECT e.token, e.exact_n, s.seed,
+         ((s.a * e.ph + s.b) % 2147483647) % {_CMS_DEMO_WIDTH} AS bucket
+  FROM exact e CROSS JOIN seeds s)
+SELECT p.token, p.exact_n, min(sk.c) AS cms_n
+FROM probes p JOIN sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+GROUP BY p.token, p.exact_n
+"""
+
+
+@register("cms_heavy_hitters", _cms_oracle_sql)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import cms_estimate, cms_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+        lambda g_i: F.substring(F.lower(F.col("text")), g_i, 3),
+    )
+    tok = d.select(F.explode(grams).alias("token"))
+    sketch = cms_sketch(tok, width=_CMS_DEMO_WIDTH)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(50)
+    )
+    est = cms_estimate(sketch, exact.select("token"), width=_CMS_DEMO_WIDTH)
+    return exact.join(est, "token").select("token", "exact_n", "cms_n")
+
+
+# ---------------------------- HLL register sketch (distinct-count)
+# Transparent, mergeable distinct-count registers per event_type
+# (operators/sketch.py): unlike approx_count_distinct's opaque
+# xxhash64 registers, every value here is shared-poly-hash + Lehmer
+# integer math, so the WHOLE sketch replays bit-exactly in SQL. The
+# estimate itself is float (tested in pytest against an independent
+# recompute); the oracle pins the registers — which fully determine it.
+def _hll_oracle_sql() -> str:
+    from .operators.sampling import lehmer2_sql
+    from .operators.sketch import HLL_M, hll_rho_sql
+
+    h = lehmer2_sql(_horner_sql("CAST(user_id AS VARCHAR)"))
+    return f"""
+WITH h AS (SELECT event_type, {h} AS h FROM events),
+b AS (SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS v FROM h)
+SELECT event_type, bucket, max({hll_rho_sql('v')}) AS max_rho
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@register("hll_distinct_users", _hll_oracle_sql)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import hll_registers
+
+    return hll_registers(
+        _t(spark, sf_dir, "events"), "user_id", ["event_type"]
     )

@@ -396,6 +396,67 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_neardup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.85,
+    n_hashes: int = 24,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 2,
+) -> DataFrame:
+    """Near-dup gate for INCREMENTAL ingest: probe a new batch against
+    an existing corpus without re-pairing the corpus with itself.
+
+    Same two OR-composed MinHash families and exact char-3-gram-Jaccard
+    verify as minhash_lsh_pairs (identical recall guarantee — a pair is
+    found iff the symmetric all-docs run would find it), but candidates
+    come ONLY from batch-band -> corpus-band equi-join probes. Cost is
+    O(|batch| x collision rate), independent of |corpus| pairs: at
+    100 TB the corpus's banded index (id, band, key) is the thing you
+    persist between crawls (it is exactly what this op's corpus side
+    computes), so each ingest touches one shuffle of the new rows plus
+    a hash join against the index — never corpus x corpus. Returns
+    (new_id, corpus_id, jaccard >= threshold).
+    """
+    assert n_hashes % bands == 0, (n_hashes, bands)
+    sig_c = _minhash_kernel(
+        corpus, id_col, text_col, n_hashes, bands, shingle_words
+    ).persist()
+    sig_b = _minhash_kernel(
+        batch, id_col, text_col, n_hashes, bands, shingle_words
+    ).persist()
+
+    banded_c = sig_c.select("id", F.posexplode("bk").alias("band", "key"))
+    banded_b = sig_b.select("id", F.posexplode("bk").alias("band", "key"))
+
+    # skinny (new_id, corpus_id) candidates; sides are disjoint by the
+    # caller's split so no self-pair / ordering predicate is needed
+    b, c = banded_b.alias("b"), banded_c.alias("c")
+    cand = (
+        b.join(
+            c,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.key") == F.col("c.key")),
+        )
+        .select(F.col("b.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_b2 = sig_b.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_b"),
+                         F.col("n_sh").alias("n_b"))
+    sh_c2 = sig_c.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh_c"),
+                         F.col("n_sh").alias("n_c"))
+    pairs = cand.join(sh_b2, "new_id").join(sh_c2, "corpus_id")
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = inter / (F.col("n_b") + F.col("n_c") - inter)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def neardup_groups(
     docs: DataFrame,
     threshold: float = 0.85,

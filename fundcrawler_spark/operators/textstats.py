@@ -126,6 +126,27 @@ def poly_hash(s: Column) -> Column:
     )
 
 
+def horner_hash(s: Column, base: int = 131) -> Column:
+    """Order-sensitive rolling string hash: Horner base-131 over
+    codepoints, mod P31 at each step — same cross-engine contract as
+    poly_hash but collision-resistant on short structured keys.
+    poly_hash's weight ladder (codepoint_i * i * 31) is LINEAR in the
+    codepoints, so digit strings collide in droves (poly('21') ==
+    poly('40'); 1500 numeric ids collapse to 161 hash values) — fine
+    for exact-oracled bucketing, fatal for anything that needs hash
+    UNIFORMITY (HLL registers, CMS counters). Horner chaining is
+    injective up to birthday collisions (~n^2/2^31). Intermediate
+    values stay < 2^31 * 131 + 127 < 2^39 — exact int64 everywhere."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.ascii(F.substring(s, i, 1)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + c, F.lit(P31)),
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """64-bit-safe rolling fingerprint of the whole document: polynomial
     hash over shingle hashes (order-sensitive base-33 rolling mix)."""

@@ -543,3 +543,118 @@ def test_event_value_quantiles_hand_case(spark):
         # Spark == DuckDB bit-exactly, this proves the definition
         assert abs(row["p95"] - (4.0 + 0.8 * 6.0)) < 1e-12
         assert abs(row["p99"] - (4.0 + 0.96 * 6.0)) < 1e-12
+
+
+# ------------------------------------------- incremental near-dup gate
+
+
+def test_incremental_neardup_equals_cross_split_subset(spark):
+    """Probing a batch against the corpus index finds EXACTLY the
+    symmetric pair set's cross-split pairs — same families, same
+    verify, no self-pairs, and the corpus-side pairs are untouched."""
+    from fundcrawler_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    inc = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_neardup_pairs(corpus, batch, 0.85).collect()
+    }
+    sym = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, 0.85).collect()
+    }
+    expected = {}
+    for (a, b), j in sym.items():
+        if (a % 5 == 0) != (b % 5 == 0):
+            new, old = (a, b) if a % 5 == 0 else (b, a)
+            expected[(new, old)] = j
+    assert inc == expected
+    assert len(inc) > 0, "split should cross at least one planted pair"
+
+
+# ----------------------------------------------- count-min sketch
+
+
+def test_cms_bound_slack_and_mergeability(spark):
+    """(a) estimate >= exact for EVERY distinct token; (b) at demo
+    width 256 < vocab size the bound has genuine slack somewhere;
+    (c) sketches merge by summing bucket counts: sketch(A)+sketch(B)
+    == sketch(A union B) exactly."""
+    from fundcrawler_spark.operators.sketch import cms_estimate, cms_sketch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+        lambda g_i: F.substring(F.lower(F.col("text")), g_i, 3),
+    )
+    tok = docs.select("doc_id", F.explode(grams).alias("token")).cache()
+
+    W = 256
+    sketch = cms_sketch(tok, width=W).cache()
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(sketch, exact.select("token"), width=W)
+    both = exact.join(est, "token").toPandas()
+    assert (both.cms_n >= both.exact_n).all()
+    assert (both.cms_n > both.exact_n).any(), (
+        "width 256 < vocab must produce at least one collision overestimate"
+    )
+
+    # mergeability: split by doc, sum the two sketches, compare buckets
+    sk_a = cms_sketch(tok.filter(F.col("doc_id") % 2 == 0), width=W)
+    sk_b = cms_sketch(tok.filter(F.col("doc_id") % 2 != 0), width=W)
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = {(r["seed"], r["bucket"]): r["c"] for r in sketch.collect()}
+    summed = {(r["seed"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert summed == full
+
+
+def test_hll_registers_estimate_and_merge(spark):
+    """(a) the register-derived estimate lands within the standard
+    ~1.04/sqrt(m) HLL error envelope of the exact distinct count per
+    group (3 sigma); (b) merging split sketches by elementwise MAX
+    reproduces the full sketch exactly."""
+    from fundcrawler_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").cache()
+    regs = hll_registers(ev, "user_id", ["event_type"]).cache()
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    by_type: dict = {}
+    for r in regs.collect():
+        by_type.setdefault(r["event_type"], {})[r["bucket"]] = r["max_rho"]
+    assert set(by_type) == set(exact)
+    tol = 3 * 1.04 / (HLL_M ** 0.5)  # ~39% at m=64, 3 sigma
+    for et, true_n in exact.items():
+        est = hll_estimate(by_type[et])
+        assert abs(est - true_n) / true_n < tol, (et, est, true_n)
+
+    # mergeability: sketch(A) max-merged with sketch(B) == sketch(all)
+    a = hll_registers(ev.filter(F.col("event_id") % 2 == 0), "user_id", ["event_type"])
+    b = hll_registers(ev.filter(F.col("event_id") % 2 != 0), "user_id", ["event_type"])
+    merged = (
+        a.unionByName(b)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    full = {(r["event_type"], r["bucket"]): r["max_rho"] for r in regs.collect()}
+    got = {(r["event_type"], r["bucket"]): r["max_rho"] for r in merged.collect()}
+    assert got == full
