@@ -740,7 +740,11 @@ def dup_span_flags(
     fingerprint approximation of suffix-array substring dedup (Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
     Better"): fixed-``width`` character windows at a fixed ``stride``
-    are fingerprinted with the cross-engine polynomial hash; a span is
+    are fingerprinted with the cross-engine Horner rolling hash
+    (textstats.horner_hash — the linear poly_hash's CLT-concentrated
+    window sums collided on ~7% of spans at sf0.01, flagging 461 dup
+    spans where true string duplication is 262; Horner flags exactly
+    the true set, collision expectation ~n^2/2^32); a span is
     DUPLICATED if its fingerprint occurs more than once corpus-wide
     (a doc repeating its own span counts — within-doc repetition is
     duplication too). Per doc: ``n_spans``, ``n_dup_spans`` (span
@@ -765,7 +769,7 @@ def dup_span_flags(
     while 128/32 keeps organic flags at ~40% and still catches ~96%
     of the planted near-dup docs.
     """
-    from .textstats import poly_hash
+    from .textstats import horner_hash
 
     t = F.col(text_col)
     positions = F.when(
@@ -774,7 +778,7 @@ def dup_span_flags(
             F.lit(1), F.length(t) - (width - 1), F.lit(int(stride))
         ),
     ).otherwise(F.array().cast("array<int>"))
-    fps = F.transform(positions, lambda p: poly_hash(F.substring(t, p, width)))
+    fps = F.transform(positions, lambda p: horner_hash(F.substring(t, p, width)))
     spans = docs.select(F.col(id_col), F.explode(fps).alias("fp"))
     cnt = spans.groupBy("fp").agg(F.count("*").alias("cnt"))
     per = (

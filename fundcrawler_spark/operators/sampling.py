@@ -17,13 +17,16 @@ bit-exactly and a re-run samples the same ids:
 - per-group keep threshold p_g = min(SCALE, SCALE * B * w_g /
   (sum_h w_h * count_g)) with integer div — expected sample size per
   group is ~B * w_g / sum_w, capped at the group's population.
-- membership: keep row iff lehmer2(poly_hash(id)) % SCALE < p_g. The
-  raw polynomial hash of a SHORT key lands in a small range (sum of
-  codepoint*i*31 is ~8e4 for a 6-char id — less than SCALE, so a
-  direct mod would keep everything); two Lehmer rounds
-  (h -> h*48271 % (2^31-1), the minstd generator step) spread it over
-  the full 31-bit range with exact int64 math both engines can run.
-  The sampled id SET (not just its size) is reproducible anywhere.
+- membership: keep row iff lehmer2(horner_hash(id)) % SCALE < p_g.
+  horner_hash (not poly_hash: the linear weight ladder COLLIDES on
+  numeric ids — 5,000 short keys collapse to ~460 hash values, so
+  keep decisions would co-vary in ~10-key clumps and inflate sampling
+  variance ~10x; Horner chaining is collision-free to birthday odds)
+  gives distinct values, and two Lehmer rounds (h -> h*48271 %
+  (2^31-1), the minstd step) spread the still-small-range hashes of
+  short keys over the full 31-bit range with exact int64 math both
+  engines can run. The sampled id SET (not just its size) is
+  reproducible anywhere.
 
 Scale shape: one tiny groupBy (|groups| rows) to the driver, weights
 broadcast back, one hash filter — no shuffle of the data itself, no
@@ -87,7 +90,7 @@ def mixture_sample(
     """Sample ~``budget`` rows with group shares proportional to
     count^(1/2^isqrt_iters). Adds ``sample_threshold`` (the group's
     keep threshold out of SCALE) for downstream mixture reporting."""
-    from .textstats import poly_hash
+    from .textstats import horner_hash
 
     counts = {
         r[group_col]: r["c"]
@@ -102,7 +105,7 @@ def mixture_sample(
     return (
         df.join(F.broadcast(thr_df), group_col)
         .filter(
-            F.pmod(lehmer2(poly_hash(key)), F.lit(SCALE))
+            F.pmod(lehmer2(horner_hash(key)), F.lit(SCALE))
             < F.col("sample_threshold")
         )
     )

@@ -62,3 +62,27 @@ def test_documents_table_discrimination(spark):
     assert hit >= 0.9 * len(ids)
     organic_rate = sum(flags.values()) / len(flags)
     assert organic_rate < 0.6
+
+
+def test_fingerprint_dups_equal_true_string_dups(spark):
+    """Horner fingerprints flag EXACTLY the spans whose 128-char string
+    occurs >1 time corpus-wide at this scale (the linear poly_hash
+    fingerprint flagged +76% false dups here — regression pin)."""
+    import collections
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    flags = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in dup_span_flags(docs, width=128, stride=32).collect()
+    }
+
+    spans_by_doc: dict = {}
+    counts: collections.Counter = collections.Counter()
+    for r in docs.select("doc_id", "text").collect():
+        t = r["text"] or ""
+        spans = [t[p:p + 128] for p in range(0, max(len(t) - 127, 0), 32)]
+        spans_by_doc[r["doc_id"]] = spans
+        counts.update(spans)
+    for doc_id, spans in spans_by_doc.items():
+        n_dup = sum(1 for s in spans if counts[s] > 1)
+        assert flags[doc_id] == (len(spans), n_dup), doc_id

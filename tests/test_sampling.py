@@ -73,8 +73,9 @@ def test_mixture_sample_spark_matches_pure_python(spark):
     thr = mixture_thresholds(counts, budget=300, isqrt_iters=1)
 
     def keep(i, lang):
-        s = f"{i}|mix"
-        h = sum(ord(c) * ((k + 1) * 31) for k, c in enumerate(s)) % P31
+        h = 0
+        for c in f"{i}|mix":
+            h = (h * 131 + ord(c)) % P31
         return lehmer2(h) % SCALE < thr[lang]
 
     want = sorted(i for i, lang in rows if keep(i, lang))
