@@ -3011,3 +3011,52 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(
         _t(spark, sf_dir, "events"), "user_id", ["event_type"]
     )
+
+
+# ---------------------- bottom-k uniform group sample (KMV sketch)
+# Exact-k deterministic uniform sample per group: keep each lang's k
+# rows with the SMALLEST lehmer2(horner_hash(doc_id)) — the classic
+# bottom-k / KMV construction, so the result is simultaneously (a) a
+# uniform without-replacement k-sample that is reproducible anywhere,
+# and (b) a mergeable sketch (union two groups' samples, re-take the
+# bottom k) whose k-th value estimates distinct counts. Complements
+# the Bernoulli samplers (stratified/mixture give a RATE, this gives
+# an exact COUNT per group). Physical shape: operators/topk.grouped_topk
+# salted two-phase rank — no per-group single-reducer window.
+_BOTTOMK = 20
+
+
+def _bottomk_oracle_sql() -> str:
+    from .operators.sampling import lehmer2_sql
+
+    h = lehmer2_sql(_horner_sql("CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, {h} AS sample_key FROM documents
+), r AS (
+  SELECT doc_id, lang, sample_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY sample_key ASC, doc_id ASC) AS rank
+  FROM h)
+SELECT lang, doc_id, sample_key, rank FROM r WHERE rank <= {_BOTTOMK}
+"""
+
+
+@register("bottomk_group_sample", _bottomk_oracle_sql)
+def q_bottomk_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import lehmer2
+    from .operators.textstats import horner_hash
+    from .operators.topk import grouped_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = d.withColumn(
+        "sample_key", lehmer2(horner_hash(F.col("doc_id").cast("string")))
+    )
+    out = grouped_topk(
+        d,
+        ["lang"],
+        [F.col("sample_key").asc()],
+        k=_BOTTOMK,
+        tiebreak=["doc_id"],
+    )
+    return out.select("lang", "doc_id", "sample_key", "rank")

@@ -658,3 +658,49 @@ def test_hll_registers_estimate_and_merge(spark):
     full = {(r["event_type"], r["bucket"]): r["max_rho"] for r in regs.collect()}
     got = {(r["event_type"], r["bucket"]): r["max_rho"] for r in merged.collect()}
     assert got == full
+
+
+# ------------------------------------------ bottom-k / KMV sample
+
+
+def test_bottomk_sample_merge_law_and_kmv_estimate(spark):
+    """(a) bottom-k(A union B) == bottom-k(bottom-k(A) union
+    bottom-k(B)) — the KMV merge law that makes the sample a sketch;
+    (b) the k-th smallest key estimates distinct count within the
+    standard ~1/sqrt(k-1) envelope (3 sigma)."""
+    from fundcrawler_spark.entry_queries import QUERIES
+    from fundcrawler_spark.operators.sampling import lehmer2
+    from fundcrawler_spark.operators.textstats import P31, horner_hash
+    from fundcrawler_spark.operators.topk import grouped_topk
+
+    fn, _ = QUERIES["bottomk_group_sample"]
+    full = fn(spark, "/root/testdata/sf0.01").toPandas()
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = docs.select("doc_id", "lang").withColumn(
+        "sample_key", lehmer2(horner_hash(F.col("doc_id").cast("string")))
+    )
+
+    def bottomk(df, k=20):
+        return grouped_topk(
+            df, ["lang"], [F.col("sample_key").asc()], k=k,
+            tiebreak=["doc_id"],
+        ).select("lang", "doc_id", "sample_key")
+
+    a = bottomk(d.filter(F.col("doc_id") % 2 == 0))
+    b = bottomk(d.filter(F.col("doc_id") % 2 != 0))
+    merged = bottomk(a.unionByName(b).drop("rank")).toPandas()
+    want = full[["lang", "doc_id", "sample_key"]]
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    assert key(merged) == key(want)
+
+    # KMV: n_hat = (k-1) * M / kth_key, M = hash range (P31-1 here)
+    exact = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n")).collect()
+    exact = {r["lang"]: r["n"] for r in exact}
+    k = 20
+    for lang, grp in full.groupby("lang"):
+        kth = grp["sample_key"].max()
+        n_hat = (k - 1) * (P31 - 1) / kth
+        sigma = 1.0 / (k - 1) ** 0.5
+        assert abs(n_hat - exact[lang]) / exact[lang] < 3 * sigma, (
+            lang, n_hat, exact[lang])
