@@ -3060,3 +3060,48 @@ def q_bottomk_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["doc_id"],
     )
     return out.select("lang", "doc_id", "sample_key", "rank")
+
+
+# --------------------------- inter-event gap audit (politeness shape)
+# The conformance audit a crawl log needs: per actor (user_id here,
+# host in a fetch log), the spacing between consecutive events, rolled
+# up to min / violation counts per event_type — lag over a
+# (actor)-partitioned window, so the shuffle is even across actors and
+# each window holds one actor's bounded history. Gap math is integer
+# microseconds (unix_micros / epoch_us read the same parquet int64),
+# so both engines agree bit-exactly.
+_GAP_LIMIT_US = 1_000_000
+
+
+@register(
+    "event_gap_audit",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type,
+       count(*) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       CAST(sum(CASE WHEN gap_us < {_GAP_LIMIT_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_event_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — cast is
+    # a type relabel here (same wall-clock micros DuckDB's epoch_us reads)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    g = e.select("event_type", gap).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.sum(F.when(F.col("gap_us") < _GAP_LIMIT_US, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )

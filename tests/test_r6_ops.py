@@ -704,3 +704,38 @@ def test_bottomk_sample_merge_law_and_kmv_estimate(spark):
         sigma = 1.0 / (k - 1) ** 0.5
         assert abs(n_hat - exact[lang]) / exact[lang] < 3 * sigma, (
             lang, n_hat, exact[lang])
+
+
+def test_event_gap_audit_hand_case(spark):
+    """Gaps are per-actor consecutive diffs; ties on ts order by
+    event_id; first event per actor contributes no gap; violations
+    count gaps strictly under 1s."""
+    from fundcrawler_spark.entry_queries import QUERIES
+    import datetime as dt
+    import os, tempfile
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: gaps 0.5s (violation), 2s
+        (1, base, 1, "a", 0.0, ""),
+        (2, base + dt.timedelta(seconds=0.5), 1, "a", 0.0, ""),
+        (3, base + dt.timedelta(seconds=2.5), 1, "a", 0.0, ""),
+        # user 2: tie ts -> 0us gap (violation), then 1s exactly (NOT <1s)
+        (4, base, 2, "b", 0.0, ""),
+        (5, base, 2, "b", 0.0, ""),
+        (6, base + dt.timedelta(seconds=1), 2, "b", 0.0, ""),
+        # user 3: single event -> no gap rows
+        (7, base, 3, "c", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        fn, _ = QUERIES["event_gap_audit"]
+        got = {r["event_type"]: r for r in fn(spark, d).collect()}
+    assert set(got) == {"a", "b"}
+    assert (got["a"]["n_gaps"], got["a"]["min_gap_us"], got["a"]["n_violations"]) == (2, 500_000, 1)
+    assert (got["b"]["n_gaps"], got["b"]["min_gap_us"], got["b"]["n_violations"]) == (2, 0, 1)
