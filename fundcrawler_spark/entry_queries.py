@@ -3105,3 +3105,85 @@ def q_event_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_violations"),
     )
+
+
+# --------------------------- PMI collocations (fixed-point, top-40)
+# Collocation mining: rank word bigrams by pointwise mutual
+# information. The PMI RATIO P(xy)/(P(x)P(y)) = n_xy*Nu^2/(n_x*n_y*Nb)
+# is computed in fixed point ((...*10000) integer-div denominator) so
+# both engines agree bit-exactly — log() is monotone, so the ranking
+# equals log-PMI ranking and the score is engine-portable (the same
+# no-float-log trick as lm_quality_score). Shape: two map-side
+# combinable count aggs + two equi-joins keyed by token (broadcastable
+# while the vocab is bounded; hash joins either way) + TakeOrdered
+# top-40 — no window, no driver loop.
+_PMI_SCALE = 10_000
+_PMI_TOPN = 40
+
+
+@register(
+    "pmi_collocations",
+    f"""
+WITH w AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+uni AS (
+  SELECT unnest(ws) AS t FROM w),
+ucnt AS (SELECT t, count(*) AS n FROM uni GROUP BY t),
+nu AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM ucnt),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+           bg_i -> ws[CAST(bg_i AS INT)] || ' ' || ws[CAST(bg_i + 1 AS INT)]))
+         AS bigram
+  FROM w),
+bcnt AS (SELECT bigram, count(*) AS n_xy FROM bg GROUP BY bigram),
+nb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS total FROM bcnt),
+scored AS (
+  SELECT b.bigram, b.n_xy, ux.n AS n_x, uy.n AS n_y,
+         CAST((b.n_xy * nu.total * nu.total * {_PMI_SCALE})
+           // (ux.n * uy.n * nb.total) AS BIGINT) AS pmi_scaled
+  FROM bcnt b
+  JOIN ucnt ux ON ux.t = string_split(b.bigram, ' ')[1]
+  JOIN ucnt uy ON uy.t = string_split(b.bigram, ' ')[2]
+  CROSS JOIN nu CROSS JOIN nb)
+SELECT bigram, n_xy, n_x, n_y, pmi_scaled
+FROM scored
+ORDER BY pmi_scaled DESC, bigram ASC
+LIMIT {_PMI_TOPN}
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import word_array, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    uni = d.select(F.explode(word_array(lower)).alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count("*").alias("n"))
+    nu = ucnt.agg(F.sum("n").alias("nu_total"))
+    bg = d.select(F.explode(word_ngrams(lower, n=2)).alias("bigram"))
+    bcnt = bg.groupBy("bigram").agg(F.count("*").alias("n_xy"))
+    nb = bcnt.agg(F.sum("n_xy").alias("nb_total"))
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bcnt.withColumn("x", parts.getItem(0))
+        .withColumn("y", parts.getItem(1))
+        .join(F.broadcast(ucnt.select(F.col("t").alias("x"), F.col("n").alias("n_x"))), "x")
+        .join(F.broadcast(ucnt.select(F.col("t").alias("y"), F.col("n").alias("n_y"))), "y")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "pmi_scaled",
+            # exact int64 division — the numerator (~2e17) exceeds
+            # double's 2^53 mantissa, so float `/`+floor would be wrong
+            F.expr(
+                f"(n_xy * nu_total * nu_total * {_PMI_SCALE}) "
+                "div (n_x * n_y * nb_total)"
+            ),
+        )
+    )
+    return (
+        scored
+        .orderBy(F.desc("pmi_scaled"), F.asc("bigram"))
+        .limit(_PMI_TOPN)
+        .select("bigram", "n_xy", "n_x", "n_y", "pmi_scaled")
+    )
