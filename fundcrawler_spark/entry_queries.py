@@ -3187,3 +3187,48 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOPN)
         .select("bigram", "n_xy", "n_x", "n_y", "pmi_scaled")
     )
+
+
+# ------------------------------ Z-order clustering key (Morton code)
+# The OPTIMIZE ZORDER key: interleave two integer dimensions so a sort
+# by the key gives every data file a contiguous Z-range — per-file
+# min/max tight on BOTH columns, multi-column footer-stats pruning
+# (wired into IcebergLiteTable.compact(zorder_by=...); prune-count A/B
+# in tests/test_r6b_ops.py). Scale bounds are computed INSIDE the plan
+# (1-row agg cross-joined broadcast), and the whole key is div/mod
+# integer math generated once and parsed by both engines (aspect-CASE
+# pattern; only the int-div spelling differs).
+def _zorder_oracle_sql() -> str:
+    from .operators.packing import zorder_key_cols_sql
+
+    expr = zorder_key_cols_sql(
+        "user_id", "event_id", "umn", "umx", "vmn", "vmx",
+        bits=16, div_op="//",
+    )
+    return f"""
+WITH s AS (
+  SELECT min(user_id) AS umn, max(user_id) AS umx,
+         min(event_id) AS vmn, max(event_id) AS vmx
+  FROM events)
+SELECT event_id, {expr} AS zkey
+FROM events CROSS JOIN s
+"""
+
+
+@register("zorder_key", _zorder_oracle_sql)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import zorder_key_cols_sql
+
+    e = _t(spark, sf_dir, "events")
+    stats = e.agg(
+        F.min("user_id").alias("umn"), F.max("user_id").alias("umx"),
+        F.min("event_id").alias("vmn"), F.max("event_id").alias("vmx"),
+    )
+    expr = zorder_key_cols_sql(
+        "user_id", "event_id", "umn", "umx", "vmn", "vmx",
+        bits=16, div_op="div",
+    )
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .select("event_id", F.expr(expr).alias("zkey"))
+    )

@@ -289,3 +289,71 @@ def patch_pack_images(
             ),
         )
     )
+
+
+# ----------------------------------------------------------- Z-order
+def zorder_key_sql(
+    u: str, v: str,
+    u_min: int, u_max: int, v_min: int, v_max: int,
+    bits: int = 16, div_op: str = "div",
+) -> str:
+    """Morton / Z-order interleave of two integer columns as ONE
+    generated integer-SQL expression (the aspect-bucket CASE pattern:
+    the same generated text drives both engines, only the integer-div
+    spelling differs — Spark ``div``, DuckDB ``//``).
+
+    Each column is first scaled onto [0, 2^bits) with exact integer
+    math ((v - min) * (2^bits - 1) div span); bit k of the scaled
+    value is extracted as ``(s div 2^k) % 2`` (no shift operators —
+    div/mod exist everywhere) and placed at position 2k / 2k+1. Bits
+    are disjoint so ``+`` assembles the key. min/max come from one
+    tiny driver aggregate — the pack_sequences offset pattern.
+
+    Why: sorting by this key gives every output file a contiguous
+    Z-range, which makes per-file min/max TIGHT ON BOTH COLUMNS at
+    once — the clustering step (Iceberg/Delta OPTIMIZE ZORDER) that
+    turns footer-stats pruning from one-column to multi-column
+    selectivity.
+    """
+    return zorder_key_cols_sql(
+        u, v, str(int(u_min)), str(int(u_max)), str(int(v_min)),
+        str(int(v_max)), bits=bits, div_op=div_op,
+    )
+
+
+def zorder_key_cols_sql(
+    u: str, v: str,
+    u_min: str, u_max: str, v_min: str, v_max: str,
+    bits: int = 16, div_op: str = "div",
+) -> str:
+    """zorder_key_sql with the scale bounds as SQL EXPRESSIONS (column
+    references from a cross-joined 1-row stats aggregate) instead of
+    driver literals — lets a query compute min/max inside the plan on
+    both engines, no driver round-trip."""
+    def scaled(col: str, mn: str, mx: str) -> str:
+        span = f"greatest(1, ({mx}) - ({mn}))"
+        return f"(((({col}) - ({mn})) * {(1 << bits) - 1}) {div_op} {span})"
+
+    su, sv = scaled(u, u_min, u_max), scaled(v, v_min, v_max)
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({su}) {div_op} {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"((({sv}) {div_op} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key_py(
+    u: int, v: int,
+    u_min: int, u_max: int, v_min: int, v_max: int,
+    bits: int = 16,
+) -> int:
+    """Pure-Python twin of zorder_key_sql for tests."""
+    def scaled(x, mn, mx):
+        return ((x - mn) * ((1 << bits) - 1)) // max(1, mx - mn)
+
+    su, sv = scaled(u, u_min, u_max), scaled(v, v_min, v_max)
+    out = 0
+    for k in range(bits):
+        out += ((su >> k) & 1) << (2 * k)
+        out += ((sv >> k) & 1) << (2 * k + 1)
+    return out

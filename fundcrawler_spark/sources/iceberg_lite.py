@@ -231,22 +231,56 @@ class IcebergLiteTable:
 
     # -------------------------------------------------- maintenance
 
-    def compact(self, spark: SparkSession, target_rows: int = 1 << 20) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows: int = 1 << 20,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
         """Rewrite the CURRENT snapshot's many small data files into
         ~``target_rows``-row files as a new snapshot (real Iceberg's
         rewrite_data_files). The crawl loop appends a handful of tiny
         files every wave — thousands of waves mean thousands of files,
         and at 100 TB scan planning and footer reads start to cost
-        more than the data. Row set is unchanged (same rows, no
-        ordering contract, like Iceberg's bin-pack strategy); old
-        snapshots still reference the old files until
-        ``expire_snapshots`` garbage-collects them."""
+        more than the data. Row set is unchanged; old snapshots still
+        reference the old files until ``expire_snapshots``
+        garbage-collects them.
+
+        ``zorder_by=(u, v)``: instead of bin-packing (no ordering
+        contract), cluster rows by the Morton key of the two integer
+        columns (Iceberg/Delta OPTIMIZE ZORDER): range-partition +
+        sort on the key gives every output file a contiguous Z-range,
+        so the manifest's per-file min/max become tight on BOTH
+        columns and ``scan(predicate)`` prunes on either (or both) —
+        bin-packed files span the whole value range and prune
+        nothing. Min/max for the key scaling come from one tiny
+        aggregate over the table."""
         df = self.read(spark)
         if df is None:
             raise ValueError("cannot compact an empty table")
         total = df.count()
         n_files = max(1, -(-total // max(1, int(target_rows))))
-        return self.overwrite(df.repartition(n_files))
+        if zorder_by is None:
+            return self.overwrite(df.repartition(n_files))
+
+        from ..operators.packing import zorder_key_sql
+
+        u, v = zorder_by
+        rng = df.agg(
+            F.min(u).alias("umn"), F.max(u).alias("umx"),
+            F.min(v).alias("vmn"), F.max(v).alias("vmx"),
+        ).collect()[0]
+        key = zorder_key_sql(
+            u, v, int(rng["umn"]), int(rng["umx"]),
+            int(rng["vmn"]), int(rng["vmx"]), div_op="div",
+        )
+        clustered = (
+            df.withColumn("__zkey", F.expr(key))
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        return self.overwrite(clustered)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` snapshots (the current

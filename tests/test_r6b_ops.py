@@ -63,3 +63,45 @@ def test_cms_kernel_equals_column_sketch(spark):
     col_e = {(r["seed"], r["bucket"]): r["c"] for r in cms_sketch(edge).collect()}
     ker_e = {(r["seed"], r["bucket"]): r["c"] for r in cms_sketch_kernel(edge).collect()}
     assert ker_e == col_e
+
+
+def test_zorder_compact_prunes_both_columns(spark):
+    """Z-order compaction makes per-file min/max tight on BOTH
+    columns: a 2D box predicate prunes (much) more than after bin-pack
+    compaction of the same rows, results stay identical, and the
+    generated key expression matches the pure-Python twin in Spark."""
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.operators.packing import zorder_key_py, zorder_key_sql
+    from fundcrawler_spark.sources.iceberg_lite import IcebergLiteTable
+
+    # spark-side key == python twin on a value sweep
+    sql = zorder_key_sql("u", "v", 0, 99, 0, 99, bits=8, div_op="div")
+    sweep = spark.createDataFrame(
+        [(i % 100, (i * 37) % 100) for i in range(0, 400, 7)], "u long, v long"
+    )
+    for r in sweep.withColumn("z", F.expr(sql)).collect():
+        assert r["z"] == zorder_key_py(r["u"], r["v"], 0, 99, 0, 99, bits=8)
+
+    rows = [(i, i % 100, (i * 37) % 100) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, u long, v long")
+    pred = [("u", ">=", 40), ("u", "<=", 49), ("v", ">=", 40), ("v", "<=", 49)]
+
+    with tempfile.TemporaryDirectory() as d:
+        t = IcebergLiteTable(d + "/t")
+        t.append(df.repartition(8))  # scattered layout
+
+        t.compact(spark, target_rows=256)  # bin-pack: 16 files
+        kept_bin, total_bin = t.plan_scan(pred)
+
+        t.compact(spark, target_rows=256, zorder_by=("u", "v"))
+        kept_z, total_z = t.plan_scan(pred)
+        got = sorted(r["id"] for r in t.scan(spark, pred).collect())
+
+    want = sorted(
+        i for i, u, v in rows if 40 <= u <= 49 and 40 <= v <= 49
+    )
+    assert got == want                       # pruning never loses rows
+    assert total_bin == total_z == 16
+    assert len(kept_bin) == 16               # bin-pack: every file spans all
+    assert len(kept_z) < len(kept_bin) // 2  # z-order actually prunes
