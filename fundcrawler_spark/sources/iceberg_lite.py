@@ -99,19 +99,26 @@ def maintain_tables(
     tables: list["IcebergLiteTable"],
     target_rows: int = 1 << 20,
     expire_keep: int | None = None,
+    zorder: dict[str, tuple[str, str]] | None = None,
 ) -> dict:
     """Post-crawl maintenance sweep: compact each non-empty table's
     small per-wave files, optionally expire old snapshots (expiry
     forfeits time travel / resume into the expired range — only for a
-    FINISHED crawl). Returns per-table before/after file counts."""
+    FINISHED crawl). ``zorder`` maps table basename -> two integer
+    columns: those tables are rewritten Z-clustered instead of
+    bin-packed (e.g. pages on (seed_index, wave): per-seed reads AND
+    per-wave-range reads both prune on footer stats afterwards).
+    Returns per-table before/after file counts."""
     report = {}
+    zorder = zorder or {}
     for t in tables:
         name = os.path.basename(t.path)
         if t.current_snapshot() is None:
             report[name] = {"skipped": "empty"}
             continue
         before = len(t._manifest(t.current_snapshot())["files"])
-        t.compact(spark, target_rows=target_rows)
+        t.compact(spark, target_rows=target_rows,
+                  zorder_by=zorder.get(name))
         entry = {
             "files_before": before,
             "files_after": len(t._manifest(t.current_snapshot())["files"]),

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main() -> None:
@@ -29,6 +30,10 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true",
                     help="after the crawl: bin-pack each table's "
                          "per-wave small files into ~1M-row files")
+    ap.add_argument("--zorder-pages", action="store_true",
+                    help="with --compact: Z-cluster the pages table on "
+                         "(seed_index, wave) instead of bin-packing, so "
+                         "per-seed and per-wave-range scans both prune")
     ap.add_argument("--expire-keep", type=int, default=None,
                     help="with --compact: drop all but the last N "
                          "snapshots per table and delete their dead "
@@ -59,11 +64,16 @@ def main() -> None:
     if args.compact:
         from fundcrawler_spark.sources.iceberg_lite import maintain_tables
 
+        zorder = (
+            {os.path.basename(crawler.pages.path): ("seed_index", "wave")}
+            if args.zorder_pages else None
+        )
         stats["maintenance"] = maintain_tables(
             spark,
             [crawler.pages, crawler.images, crawler.results,
              crawler.fetch_log],
             expire_keep=args.expire_keep,
+            zorder=zorder,
         )
     print(json.dumps(stats))
     spark.stop()

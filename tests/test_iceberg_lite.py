@@ -283,3 +283,36 @@ def test_maintain_tables_sweep(spark):
         assert len(r1["expired"]["expired"]) == 5
         assert t1.read(spark).count() == 100
         assert t1.snapshots() == [t1.current_snapshot()]
+
+
+def test_maintain_tables_zorder_option(spark):
+    """zorder={'pages': (u, v)} routes that table through Z-clustered
+    compaction (row set unchanged, 2D predicate prunes); unlisted
+    tables still bin-pack."""
+    from fundcrawler_spark.sources.iceberg_lite import maintain_tables
+
+    with tempfile.TemporaryDirectory() as d:
+        t1 = IcebergLiteTable(d + "/pages")
+        rows = spark.createDataFrame(
+            [(i, i % 64, (i * 29) % 64) for i in range(2048)],
+            "id long, seed_index long, wave long",
+        )
+        t1.append(rows.repartition(8))
+        t2 = IcebergLiteTable(d + "/logs")
+        t2.append(spark.range(0, 50).selectExpr("id AS x"))
+        rep = maintain_tables(
+            spark, [t1, t2], target_rows=256,
+            zorder={"pages": ("seed_index", "wave")},
+        )
+        assert rep["logs"]["files_after"] >= 1
+        assert t1.read(spark).count() == 2048
+        pred = [("seed_index", ">=", 16), ("seed_index", "<=", 23),
+                ("wave", ">=", 16), ("wave", "<=", 23)]
+        kept, total = t1.plan_scan(pred)
+        assert total == 8 and len(kept) < total
+        got = sorted(r["id"] for r in t1.scan(spark, pred).collect())
+        want = sorted(
+            i for i in range(2048)
+            if 16 <= i % 64 <= 23 and 16 <= (i * 29) % 64 <= 23
+        )
+        assert got == want

@@ -42,6 +42,9 @@ def test_spark_submit_py_files_crawl(tmp_path):
             "--seeds", "4",
             "--max-waves", "8",
             "--init-budget", "160",
+            "--compact",
+            "--zorder-pages",
+            "--expire-keep", "1",
         ],
         capture_output=True, text=True, timeout=570, cwd=str(tmp_path),
     )
@@ -51,3 +54,8 @@ def test_spark_submit_py_files_crawl(tmp_path):
     stats = json.loads(stats_lines[-1])
     assert stats["pages_fetched"] == 16  # 4 seeds x 4 page types
     assert stats["results"] == 4
+    # the maintenance sweep ran, z-clustered the pages table, and the
+    # rewritten table still holds every page row
+    rep = stats["maintenance"]["pages"]
+    assert rep["files_after"] <= rep["files_before"]
+    assert rep["expired"]["expired"]  # expire-keep dropped old snapshots
