@@ -3232,3 +3232,57 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(stats))
         .select("event_id", F.expr(expr).alias("zkey"))
     )
+
+
+# -------------------- incremental image near-dup (batch vs corpus)
+# The image twin of incremental_neardup: a new upload batch (the
+# planted dup_* lossy re-encodes) is probed against the EXISTING image
+# corpus's phash chunk index — the ingest-time re-upload detector,
+# O(batch x collisions) per crawl. Candidates have guaranteed recall
+# (same pigeonhole blocking as phash_near_dup_pairs), verify is exact
+# bit_count(xor), so the output IS the exact cross-split pair set and
+# the oracle is a plain batch-x-corpus scan over the FROZEN committed
+# (image_id, phash) fixture (codec-independent, frozen_phash.py).
+@functools.lru_cache(maxsize=1)
+def _inc_phash_oracle_sql() -> str:
+    from .frozen_phash import FROZEN_IMAGE_META
+
+    values = ",\n".join(
+        f"('{_sql_str(i)}', CAST({ph} AS BIGINT))"
+        for i, _w, _h, _f, ph in FROZEN_IMAGE_META
+    )
+    return f"""
+WITH p(image_id, phash) AS (VALUES
+{values})
+SELECT b.image_id AS new_id, c.image_id AS corpus_id,
+       bit_count(xor(b.phash, c.phash)) AS hamming
+FROM p b JOIN p c
+  ON b.image_id LIKE 'dup!_%' ESCAPE '!'
+ AND c.image_id NOT LIKE 'dup!_%' ESCAPE '!'
+WHERE bit_count(xor(b.phash, c.phash)) <= 10
+"""
+
+
+@register("incremental_phash_neardup", _inc_phash_oracle_sql)
+def q_incremental_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import fixtures as fx
+    from .functions import imaging
+    from .operators.dedup import incremental_phash_neardups
+    from .operators.multimodal import enrich_images
+
+    rows = fx.image_rows(64)
+    planted = []
+    for i in range(0, 64, 8):
+        arr = imaging.decode_image(bytes(rows[i][1]), rows[i][4])
+        planted.append(
+            (f"dup_{rows[i][0]}", bytearray(imaging.encode_image(arr, "dctq")),
+             rows[i][5])
+        )
+    corpus = enrich_images(spark.createDataFrame(
+        [(r[0], r[1], r[5]) for r in rows],
+        "image_id string, bytes binary, caption string",
+    ))
+    batch = enrich_images(spark.createDataFrame(
+        planted, "image_id string, bytes binary, caption string",
+    ))
+    return incremental_phash_neardups(corpus, batch, max_hamming=10)

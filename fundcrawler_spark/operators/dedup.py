@@ -576,14 +576,9 @@ def simhash_pairs(
     )
 
 
-def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Image near-dup pairs by 64-bit perceptual hash: block on
-    ``max_hamming + 1`` bit-range chunks (pigeonhole: a pair within
-    ``max_hamming`` differing bits must share at least one chunk
-    exactly), verify with bit_count(xor). Chunk count is derived from
-    the threshold so recall is guaranteed for any requested distance."""
-    n_chunks = max_hamming + 1
-    assert 1 <= n_chunks <= 64, max_hamming
+def _phash_chunk_frame(images: DataFrame, n_chunks: int) -> DataFrame:
+    """(id, h, chunk, val): the pigeonhole blocking frame shared by the
+    symmetric and incremental phash near-dup ops."""
     bounds = [round(64 * c / n_chunks) for c in range(n_chunks + 1)]
 
     def _chunk_val(c: int):
@@ -593,7 +588,7 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
         return F.shiftright(F.col("h"), bounds[c]).bitwiseAND(F.lit((1 << width) - 1))
 
     base = images.select(F.col("image_id").alias("id"), F.col("phash").alias("h"))
-    chunks = base.select(
+    return base.select(
         "id",
         "h",
         F.explode(
@@ -603,6 +598,17 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
             ])
         ).alias("ck"),
     ).select("id", "h", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs by 64-bit perceptual hash: block on
+    ``max_hamming + 1`` bit-range chunks (pigeonhole: a pair within
+    ``max_hamming`` differing bits must share at least one chunk
+    exactly), verify with bit_count(xor). Chunk count is derived from
+    the threshold so recall is guaranteed for any requested distance."""
+    n_chunks = max_hamming + 1
+    assert 1 <= n_chunks <= 64, max_hamming
+    chunks = _phash_chunk_frame(images, n_chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -622,6 +628,43 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
+    )
+
+
+def incremental_phash_neardups(
+    corpus: DataFrame, batch: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Image twin of incremental_neardup_pairs: probe a NEW image
+    batch's phash chunk keys against the corpus's persisted chunk index
+    instead of re-pairing the corpus with itself. Same pigeonhole
+    blocking as phash_near_dups (recall guaranteed for any
+    ``max_hamming``), candidates only from batch-chunk -> corpus-chunk
+    equi-joins — O(|batch| x collisions) per ingest, the corpus enters
+    only through the index join. The ingest-time re-upload /
+    re-encode detector. Returns (new_id, corpus_id, hamming)."""
+    n_chunks = max_hamming + 1
+    assert 1 <= n_chunks <= 64, max_hamming
+    cb = _phash_chunk_frame(batch, n_chunks).alias("b")
+    cc = _phash_chunk_frame(corpus, n_chunks).alias("c")
+    cand = (
+        cb.join(
+            cc,
+            (F.col("b.chunk") == F.col("c.chunk"))
+            & (F.col("b.val") == F.col("c.val")),
+        )
+        .select(
+            F.col("b.id").alias("new_id"),
+            F.col("c.id").alias("corpus_id"),
+            F.col("b.h").alias("h_b"),
+            F.col("c.h").alias("h_c"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    ham = F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_c")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
     )
 
 

@@ -105,3 +105,44 @@ def test_zorder_compact_prunes_both_columns(spark):
     assert total_bin == total_z == 16
     assert len(kept_bin) == 16               # bin-pack: every file spans all
     assert len(kept_z) < len(kept_bin) // 2  # z-order actually prunes
+
+
+def test_incremental_phash_equals_cross_split_subset(spark):
+    """Probing batch chunks against the corpus index finds exactly the
+    symmetric pair set's cross-split pairs (no self-pairs, corpus
+    pairs untouched), with identical hamming values."""
+    from fundcrawler_spark import fixtures as fx
+    from fundcrawler_spark.functions import imaging
+    from fundcrawler_spark.operators.dedup import (
+        incremental_phash_neardups,
+        phash_near_dups,
+    )
+    from fundcrawler_spark.operators.multimodal import enrich_images
+
+    rows = fx.image_rows(32)
+    planted = []
+    for i in range(0, 32, 8):
+        arr = imaging.decode_image(bytes(rows[i][1]), rows[i][4])
+        planted.append(
+            (f"dup_{rows[i][0]}", bytearray(imaging.encode_image(arr, "dctq")),
+             rows[i][5])
+        )
+    all_df = enrich_images(spark.createDataFrame(
+        [(r[0], r[1], r[5]) for r in rows] + planted,
+        "image_id string, bytes binary, caption string",
+    )).cache()
+    corpus = all_df.filter(~all_df.image_id.startswith("dup_"))
+    batch = all_df.filter(all_df.image_id.startswith("dup_"))
+
+    inc = {
+        (r["new_id"], r["corpus_id"]): r["hamming"]
+        for r in incremental_phash_neardups(corpus, batch, 10).collect()
+    }
+    sym = {}
+    for r in phash_near_dups(all_df, 10).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a.startswith("dup_") != b.startswith("dup_"):
+            new, old = (a, b) if a.startswith("dup_") else (b, a)
+            sym[(new, old)] = r["hamming"]
+    assert inc == sym
+    assert len(inc) >= 4  # every planted re-encode finds its original
