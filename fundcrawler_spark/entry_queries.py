@@ -21,7 +21,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.parse import parse_increase, parse_metrics, parse_overview
 from .operators.analysis import select_funds
 from .operators.dedup import exact_dedup, minhash_lsh_pairs
 from .operators.similarity import brute_force_topk, cosine_near_dup_pairs
@@ -277,10 +276,20 @@ FROM bodies
 """,
 )
 def q_regex_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RE2 Arrow twin of parse_overview — same reference patterns, same
+    # captures (functions/parse_arrow.py; r7: the java.util.regex
+    # engine was ~7 s of this query's ~8 s at sf1.0)
+    from .functions.parse_arrow import extract_re2
+
     b = _overview_body_df(spark, sf_dir)
-    cols = parse_overview(F.col("body"))
-    return b.select("o_orderkey", *[cols[c].alias(c) for c in
-                                    ("fund_type", "fund_size", "fund_company", "fund_value")])
+    ext = extract_re2(
+        b, ["fund_type", "fund_size", "fund_company", "fund_value"],
+        [("o_orderkey", "long")],
+    )
+    # thousands-separator strip mirrors overview.py:35 replace(',','')
+    return ext.withColumn(
+        "fund_size", F.replace(F.col("fund_size"), F.lit(","), F.lit(""))
+    )
 
 
 _METRICS_BODY_SQL = """
@@ -331,9 +340,16 @@ def q_regex_metrics_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<</tr>"),
     )
     b = o.select("o_orderkey", body.alias("body"))
-    cols = parse_metrics(F.col("body"))
-    return b.select("o_orderkey", cols["stddev_3y"].alias("stddev_3y"),
-                    cols["sharpe_3y"].alias("sharpe_3y"))
+    # RE2 Arrow twin of parse_metrics (group 3 == named group g); the
+    # '--' no-data sentinel nullif stays Column-side
+    from .functions.parse_arrow import extract_re2
+
+    ext = extract_re2(b, ["stddev_3y", "sharpe_3y"], [("o_orderkey", "long")])
+    return ext.select(
+        "o_orderkey",
+        F.nullif(F.col("stddev_3y"), F.lit("--")).alias("stddev_3y"),
+        F.nullif(F.col("sharpe_3y"), F.lit("--")).alias("sharpe_3y"),
+    )
 
 
 _INCREASE_BODY_SQL = """
@@ -384,12 +400,18 @@ def q_regex_increase_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     body = F.concat(F.lit("近3年：<b>"), i3, F.lit("</b> ... 近5年：<b>"), i5, F.lit("</b>"))
     b = o.select("o_orderkey", body.alias("body"))
-    cols = parse_increase(F.col("body"))
-    return b.select(
+    # RE2 Arrow twin of parse_increase; '---' sentinel + percent cast
+    # stay Column-side
+    from .functions.parse_arrow import extract_re2
+
+    ext = extract_re2(b, ["increase_3y", "increase_5y"], [("o_orderkey", "long")])
+    i3 = F.nullif(F.col("increase_3y"), F.lit("---"))
+    i5 = F.nullif(F.col("increase_5y"), F.lit("---"))
+    return ext.select(
         "o_orderkey",
-        cols["increase_3y"].alias("increase_3y"),
-        cols["increase_5y"].alias("increase_5y"),
-        percent_to_double(cols["increase_3y"]).alias("increase_3y_pct"),
+        i3.alias("increase_3y"),
+        i5.alias("increase_5y"),
+        percent_to_double(i3).alias("increase_3y_pct"),
     )
 
 
@@ -445,11 +467,11 @@ def q_regex_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b = o.select("o_orderkey", body.alias("body"))
-    cols = parse_manager(F.col("body"))
-    return b.select(
-        "o_orderkey",
-        cols["fund_manager"].alias("fund_manager"),
-        cols["date_of_appointment"].alias("date_of_appointment"),
+    # RE2 Arrow twin of parse_manager (same patterns, linear engine)
+    from .functions.parse_arrow import extract_re2
+
+    return extract_re2(
+        b, ["fund_manager", "date_of_appointment"], [("o_orderkey", "long")]
     )
 
 

@@ -240,6 +240,101 @@ def _batch_minhash_features(
     return word_sig, char_sig
 
 
+def _gram3_encode_py(t: str) -> int:
+    """Injective int64 encoding of one <=3-char gram: 21 bits per
+    codepoint (max Unicode codepoint 0x10FFFF < 2^21), offset by +1 so
+    an absent position (0) differs from any real char. Max value
+    ~2^62.1 — always a positive int64."""
+    c0 = (ord(t[0]) + 1) if len(t) > 0 else 0
+    c1 = (ord(t[1]) + 1) if len(t) > 1 else 0
+    c2 = (ord(t[2]) + 1) if len(t) > 2 else 0
+    return (c0 << 42) | (c1 << 21) | c2
+
+
+def _batch_gram3_sets(texts, cp, doc_start, doc_end):
+    """Distinct char-3-grams per doc, injectively encoded to int64 —
+    the EXACT verify representation. Encoding is ``_gram3_encode_py``
+    vectorized over the batch codepoint array: because the map
+    gram-string -> int64 is injective, |A ∩ B| and |A| computed on the
+    encoded sets equal the string-set values exactly, so the verify
+    jaccard is bit-identical to the DuckDB oracle's string scan while
+    the arrays shuffle as fixed-width longs (~4x fewer bytes than
+    per-gram strings, and array_intersect compares longs, not strings).
+
+    Mirrors ``{t[j:j+3] for j in range(max(len(t)-2, 1))}``: docs of
+    length >= 3 contribute every full window; shorter docs contribute
+    the single (possibly empty) prefix gram ``t[0:3]``.
+
+    Returns a list of sorted np.int64 arrays, one per doc.
+    """
+    import numpy as np
+
+    n_docs = len(doc_start)
+    n_pos = len(cp) - 2
+    if n_pos > 0:
+        g = (
+            ((cp[:n_pos] + 1) << 42)
+            | ((cp[1 : n_pos + 1] + 1) << 21)
+            | (cp[2 : n_pos + 2] + 1)
+        )
+        # window must not cross a separator (cp==0 at separators makes
+        # the +1 offsets safe: a separator contributes 1<<42 etc., but
+        # such windows are masked out here anyway)
+        in_doc = (cp[:n_pos] != _SEP) & (cp[1 : n_pos + 1] != _SEP) & (
+            cp[2 : n_pos + 2] != _SEP
+        )
+        g = g[in_doc]
+        gdoc = np.searchsorted(doc_end, np.flatnonzero(in_doc), side="right")
+    else:
+        g = np.zeros(0, dtype=np.int64)
+        gdoc = np.zeros(0, dtype=np.int64)
+
+    # short docs (len < 3) have no full window: single prefix gram
+    doc_len = doc_end - doc_start
+    short = np.flatnonzero(doc_len < 3)
+    if len(short):
+        sg = np.array(
+            [_gram3_encode_py(texts[int(d)][:3]) for d in short], dtype=np.int64
+        )
+        g = np.concatenate([g, sg])
+        gdoc = np.concatenate([gdoc, short])
+
+    # per-doc distinct: sort by (doc, gram), drop adjacent dupes
+    order = np.lexsort((g, gdoc))
+    g, gdoc = g[order], gdoc[order]
+    keep = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        keep[1:] = (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])
+    g, gdoc = g[keep], gdoc[keep]
+    counts = np.bincount(gdoc, minlength=n_docs)
+    return np.split(g, np.cumsum(counts[:-1]))
+
+
+def _gram3_sets(texts):
+    """Distinct encoded 3-gram sets for a list of ORIGINAL texts.
+    Vectorized over a NUL-joined codepoint array; the rare doc that
+    itself contains U+0000 (which would corrupt the join boundaries)
+    is recomputed exactly, per doc, from its original string."""
+    import numpy as np
+
+    clean = ["" if t is None else t.replace("\x00", "") for t in texts]
+    joined = "\x00".join(clean) + "\x00"
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sep_pos = np.flatnonzero(cp == _SEP)
+    doc_end = sep_pos
+    doc_start = np.concatenate(([0], sep_pos[:-1] + 1))
+    sets = _batch_gram3_sets(clean, cp, doc_start, doc_end)
+    for i, t in enumerate(texts):
+        if t is not None and "\x00" in t:
+            sets[i] = np.unique(
+                np.array(
+                    [_gram3_encode_py(t[j : j + 3]) for j in range(max(len(t) - 2, 1))],
+                    dtype=np.int64,
+                )
+            )
+    return sets
+
+
 def _band_keys(sig, bands: int, band_offset: int):
     """(n_docs, bands) int64 keys: uint64 splitmix chain over each
     band's signature rows, salted by the global band index so keys from
@@ -265,8 +360,10 @@ def _minhash_kernel(
 ) -> DataFrame:
     """(id, sh, n_sh, bk) via mapInPandas.
 
-    * ``sh``: the distinct char-3-gram array — the EXACT verify metric
-      (same definition the DuckDB oracle scans).
+    * ``sh``: the distinct char-3-gram set, injectively encoded to
+      int64 (``_gram3_encode_py``) — the EXACT verify metric (same set
+      cardinalities as the string grams the DuckDB oracle scans, per
+      injectivity), shuffled as fixed-width longs instead of strings.
     * ``bk``: band keys from TWO OR-composed MinHash families —
       ``bands`` keys over **word ``shingle_words``-shingles** plus
       ``char_bands`` keys over **char ``char_k``-grams**. A pair is a
@@ -311,10 +408,7 @@ def _minhash_kernel(
                 wk = _band_keys(word_sig, bands, 0)
                 ck = _band_keys(char_sig, char_bands, bands)
                 bk = np.concatenate([wk, ck], axis=1)
-                shs = [
-                    list({t[j:j + 3] for j in range(max(len(t) - 2, 1))})
-                    for t in texts
-                ]
+                shs = _gram3_sets(texts)
                 yield pd.DataFrame({
                     "id": sub[id_col].to_numpy(),
                     "sh": shs,
@@ -323,7 +417,7 @@ def _minhash_kernel(
 
     # the id column keeps its input type (long doc ids, string image ids)
     id_type = docs.schema[id_col].dataType.simpleString()
-    out_schema = f"id {id_type}, sh array<string>, bk array<long>"
+    out_schema = f"id {id_type}, sh array<long>, bk array<long>"
     spark = docs.sparkSession
     return (
         docs.select(F.col(id_col), F.col(text_col))
@@ -389,11 +483,17 @@ def minhash_lsh_pairs(
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
+    out = (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        # the verified pair set is tiny — pin it so the signature cache
+        # can be released now instead of leaking for the session
+        # (jaccard_pairs release pattern; ADVICE r6)
+        .localCheckpoint()
     )
+    sig.unpersist()
+    return out
 
 
 def incremental_neardup_pairs(
@@ -450,11 +550,18 @@ def incremental_neardup_pairs(
     pairs = cand.join(sh_b2, "new_id").join(sh_c2, "corpus_id")
     inter = F.size(F.array_intersect("sh_b", "sh_c"))
     jac = inter / (F.col("n_b") + F.col("n_c") - inter)
-    return (
+    out = (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
+        # pin the (tiny) verified gate result, then release both
+        # signature caches — repeated ingests in one session must not
+        # accumulate cached signature frames (ADVICE r6)
+        .localCheckpoint()
     )
+    sig_b.unpersist()
+    sig_c.unpersist()
+    return out
 
 
 def neardup_groups(

@@ -88,10 +88,17 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # scoring via the shared numpy kernel (bit-identical to the HOF
+    # cosine — test_kernel_equivalence pins the fold order), not the
+    # interpreted aggregate/zip_with chain: every other scorer already
+    # uses cosine_scored, and the HOF path was the dominant cost of the
+    # exact baseline (r6 verdict item 6)
+    id_t = dict(corpus.dtypes)[id_col]
+    scored = cosine_scored(
+        pairs, "qv", "cv", keep=[("neighbor_id", id_t), ("query_id", id_t)]
     )
     top = grouped_topk(
         scored,

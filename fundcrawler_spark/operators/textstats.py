@@ -33,14 +33,19 @@ def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features (the classic
     pretraining quality heuristics)."""
     n_chars = F.length(text)
-    n_spaces = n_chars - F.length(F.regexp_replace(text, " ", ""))
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    # literal char/substring removal via translate/replace — same
+    # results as the regexp_replace forms (the patterns are literal:
+    # no metacharacters, and both engines replace non-overlapping
+    # occurrences left-to-right) without the per-row java.util.regex
+    # machinery (guide §4.1: prefer cheaper built-ins)
+    n_spaces = n_chars - F.length(F.translate(text, " ", ""))
+    n_punct = n_chars - F.length(F.translate(text, ".,;:!?", ""))
     n_tokens = token_count(text)
     lower = F.lower(text)
     n_stop = sum(
         (
             F.length(lower)
-            - F.length(F.regexp_replace(lower, f" {w} ", ""))
+            - F.length(F.replace(lower, F.lit(f" {w} "), F.lit("")))
         ) / (len(w) + 2)
         for w in ("the", "and", "of", "to", "in")
     )
@@ -78,8 +83,9 @@ def lang_scores(text: Column) -> dict[str, Column]:
     for lang, markers in LANG_MARKERS.items():
         score = None
         for m in markers:
-            # occurrence count via length difference
-            c = (F.length(lower) - F.length(F.regexp_replace(lower, m, ""))) / len(m)
+            # occurrence count via length difference (literal marker —
+            # F.replace is exact and skips the regex engine)
+            c = (F.length(lower) - F.length(F.replace(lower, F.lit(m), F.lit("")))) / len(m)
             score = c if score is None else score + c
         out[lang] = score.cast("long")
     return out
