@@ -226,7 +226,14 @@ bodies AS (
 
 
 def _overview_body_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # repartition the 8-byte source key BEFORE the body concat: the
+    # orders scan is a single sub-maxPartitionBytes file (1 task), and
+    # exchanging o_orderkey costs ~1/40th of exchanging built bodies —
+    # body construction and the downstream parse kernel then both run
+    # at full parallelism (guide §2.3: project before the exchange)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("o_orderkey")
     typ = (
         F.when((k % 4).cast("int") == 0, "债券型")
@@ -276,20 +283,12 @@ FROM bodies
 """,
 )
 def q_regex_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # RE2 Arrow twin of parse_overview — same reference patterns, same
-    # captures (functions/parse_arrow.py; r7: the java.util.regex
-    # engine was ~7 s of this query's ~8 s at sf1.0)
-    from .functions.parse_arrow import extract_re2
+    from .functions.parse import parse_overview
 
     b = _overview_body_df(spark, sf_dir)
-    ext = extract_re2(
-        b, ["fund_type", "fund_size", "fund_company", "fund_value"],
-        [("o_orderkey", "long")],
-    )
-    # thousands-separator strip mirrors overview.py:35 replace(',','')
-    return ext.withColumn(
-        "fund_size", F.replace(F.col("fund_size"), F.lit(","), F.lit(""))
-    )
+    cols = parse_overview(F.col("body"))
+    return b.select("o_orderkey", *[cols[c].alias(c) for c in
+                                    ("fund_type", "fund_size", "fund_company", "fund_value")])
 
 
 _METRICS_BODY_SQL = """
@@ -322,7 +321,9 @@ FROM bodies
 """,
 )
 def q_regex_metrics_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # 1-file scan -> full parallelism for body build + parse kernel
     k = F.col("o_orderkey")
     sd = F.when(k % 7 == 0, F.lit("--")).otherwise(
         F.concat((k % 30).cast("string"), F.lit("."),
@@ -340,16 +341,11 @@ def q_regex_metrics_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<</tr>"),
     )
     b = o.select("o_orderkey", body.alias("body"))
-    # RE2 Arrow twin of parse_metrics (group 3 == named group g); the
-    # '--' no-data sentinel nullif stays Column-side
-    from .functions.parse_arrow import extract_re2
+    from .functions.parse import parse_metrics
 
-    ext = extract_re2(b, ["stddev_3y", "sharpe_3y"], [("o_orderkey", "long")])
-    return ext.select(
-        "o_orderkey",
-        F.nullif(F.col("stddev_3y"), F.lit("--")).alias("stddev_3y"),
-        F.nullif(F.col("sharpe_3y"), F.lit("--")).alias("sharpe_3y"),
-    )
+    cols = parse_metrics(F.col("body"))
+    return b.select("o_orderkey", cols["stddev_3y"].alias("stddev_3y"),
+                    cols["sharpe_3y"].alias("sharpe_3y"))
 
 
 _INCREASE_BODY_SQL = """
@@ -385,7 +381,9 @@ FROM ext
 def q_regex_increase_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.parse import percent_to_double
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # 1-file scan -> full parallelism for body build + parse kernel
     k = F.col("o_orderkey")
     v3 = k % 200 - 50
     i3 = F.when(k % 5 == 0, F.lit("---")).otherwise(
@@ -400,18 +398,14 @@ def q_regex_increase_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     body = F.concat(F.lit("近3年：<b>"), i3, F.lit("</b> ... 近5年：<b>"), i5, F.lit("</b>"))
     b = o.select("o_orderkey", body.alias("body"))
-    # RE2 Arrow twin of parse_increase; '---' sentinel + percent cast
-    # stay Column-side
-    from .functions.parse_arrow import extract_re2
+    from .functions.parse import parse_increase
 
-    ext = extract_re2(b, ["increase_3y", "increase_5y"], [("o_orderkey", "long")])
-    i3 = F.nullif(F.col("increase_3y"), F.lit("---"))
-    i5 = F.nullif(F.col("increase_5y"), F.lit("---"))
-    return ext.select(
+    cols = parse_increase(F.col("body"))
+    return b.select(
         "o_orderkey",
-        i3.alias("increase_3y"),
-        i5.alias("increase_5y"),
-        percent_to_double(i3).alias("increase_3y_pct"),
+        cols["increase_3y"].alias("increase_3y"),
+        cols["increase_5y"].alias("increase_5y"),
+        percent_to_double(cols["increase_3y"]).alias("increase_3y_pct"),
     )
 
 
@@ -448,7 +442,9 @@ FROM bodies
 def q_regex_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.parse import parse_manager
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # 1-file scan -> full parallelism for body build + parse kernel
     k = F.col("o_orderkey")
     mgr = (
         F.when((k % 5).cast("int") == 0, "张三丰")
@@ -467,11 +463,11 @@ def q_regex_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b = o.select("o_orderkey", body.alias("body"))
-    # RE2 Arrow twin of parse_manager (same patterns, linear engine)
-    from .functions.parse_arrow import extract_re2
-
-    return extract_re2(
-        b, ["fund_manager", "date_of_appointment"], [("o_orderkey", "long")]
+    cols = parse_manager(F.col("body"))
+    return b.select(
+        "o_orderkey",
+        cols["fund_manager"].alias("fund_manager"),
+        cols["date_of_appointment"].alias("date_of_appointment"),
     )
 
 
@@ -771,6 +767,16 @@ def q_retry_priority_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") % 4).cast("int").alias("page_ordinal"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
     )
+    # round-robin the slim projection first (the lineitem file yields
+    # only row-group-many scan tasks), then a SINGLE window: on Spark
+    # 3.5+/4 the planner inserts a map-side partial WindowGroupLimit
+    # before the exchange, so each task forwards <= 12 rows per host and
+    # the per-host reducer input is bounded at 12 x map-tasks of slim
+    # rows — the salted pre-phase duplicated exactly that bound and paid
+    # an extra exchange+sort for it (r7 A/B: salted 3.4-6.7 s, single
+    # 2.6 s at sf1.0). Rank values are identical (plan choice, not
+    # semantics — operators/topk.py salted=False contract).
+    fr = fr.repartition(spark.sparkContext.defaultParallelism)
     ranked = grouped_topk(
         fr,
         ["host"],
@@ -778,7 +784,7 @@ def q_retry_priority_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
          F.col("seed_index").asc(), F.col("page_ordinal").asc(), F.col("uid").asc()],
         12,
         rank_col="rank",
-        salt_cols=["uid"],
+        salted=False,
     )
     return ranked.select("host", "rank", "uid")
 
@@ -1093,7 +1099,13 @@ FROM f
 """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # documents is a single-row-group file: without a repartition the
+    # whole ~10-pass string-feature projection runs on ONE scan task
+    # (r7; the shuffle moves ~15 MB of text, the map stage then runs at
+    # full parallelism)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feats = quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -1135,7 +1147,11 @@ FROM s
 """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # single-row-group file -> repartition so the 12-marker replace
+    # cascade runs parallel, not on one scan task (see q_quality_score)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
 
 

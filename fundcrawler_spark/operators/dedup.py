@@ -110,6 +110,13 @@ def jaccard_pairs(
 
 _LSH_P = 2147483647
 
+# verify-stage strategy switch for minhash_lsh_pairs: up to this many
+# docs the (id, grams, n) table is broadcast (~150 encoded int64 grams
+# per doc -> ~1.2 KB, i.e. <= ~240 MB at the cap); beyond it the verify
+# runs as shuffle joins behind the exact size-ratio prefilter. A
+# row-count switch, deliberately not tied to local core count.
+_BROADCAST_VERIFY_DOCS = 200_000
+
 
 def _splitmix64(n: int, salt: int = 0) -> list[int]:
     """Deterministic pseudo-random 64-bit stream — the shared splitmix64
@@ -458,17 +465,27 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0, (n_hashes, bands)
     sig = _minhash_kernel(docs, id_col, text_col, n_hashes, bands, shingle_words).persist()
+    # populate the cache with ONE pass before the self-join fans out:
+    # the banded join's two scan stages run concurrently, and racing an
+    # unpopulated cache computed the python kernel twice (r7: +4 s at
+    # sf1.0). The count also sizes the verify strategy below.
+    n_docs = sig.count()
 
     banded = sig.select("id", F.posexplode("bk").alias("band", "key"))
 
     # Candidate pairs are (id, id) ONLY — carrying the shingle arrays
     # through the join + dropDuplicates shuffle is what kills this shape
-    # (each row would drag ~KBs of strings through an exchange). Dedup
+    # (each row would drag ~KBs of payload through an exchange). Dedup
     # the skinny pairs, then re-attach shingles from the cached sig df.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
+        # shuffled-hash beats sort-merge here: both sides are the same
+        # skinny (id, band, key) frame, so the per-partition hash build
+        # is small and the two 1M-row sorts are pure overhead (guide
+        # §3.1; r7 A/B ~15% on the candidate stage). AQE skew handling
+        # still applies to hot buckets.
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
@@ -480,7 +497,30 @@ def minhash_lsh_pairs(
                       F.col("n_sh").alias("n_a"))
     sh_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
                       F.col("n_sh").alias("n_b"))
-    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    # size-adaptive verify (row-count switch, not a core-count tune):
+    # * small corpus: broadcast the gram table — neither verify join
+    #   shuffles, so no candidate row drags an array through an
+    #   exchange (guide §8: decide on small rows, move payloads once);
+    # * large corpus (the 100 TB shape): the gram table cannot be
+    #   broadcast — first drop candidates that provably cannot pass
+    #   (jaccard >= t implies |A∩B| <= min(|A|,|B|), so min/max size
+    #   ratio >= t: the exact containment bound) via skinny size joins,
+    #   THEN shuffle arrays only for the surviving pairs.
+    ratio_ok = F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+    if n_docs <= _BROADCAST_VERIFY_DOCS:
+        pairs = (
+            cand.join(F.broadcast(sh_a), "id_a")
+            .join(F.broadcast(sh_b), "id_b")
+            .filter(ratio_ok)
+        )
+    else:
+        na = sig.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        nb = sig.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        slim = cand.join(na, "id_a").join(nb, "id_b").filter(ratio_ok)
+        pairs = (
+            slim.join(sh_a.drop("n_a"), "id_a")
+            .join(sh_b.drop("n_b"), "id_b")
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     out = (
@@ -527,6 +567,10 @@ def incremental_neardup_pairs(
     sig_b = _minhash_kernel(
         batch, id_col, text_col, n_hashes, bands, shingle_words
     ).persist()
+    # populate both caches with one pass each before the band join's
+    # concurrent scan stages race them (minhash_lsh_pairs r7 fix)
+    sig_c.count()
+    sig_b.count()
 
     banded_c = sig_c.select("id", F.posexplode("bk").alias("band", "key"))
     banded_b = sig_b.select("id", F.posexplode("bk").alias("band", "key"))

@@ -46,8 +46,13 @@ def pagerank_fixed_point(
     )
     outdeg = src.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (int(scale) * (damp_den - damp_num)) // damp_den
+    # the join inputs are reused every iteration — pin them so each
+    # round reads materialized blocks instead of recomputing the
+    # distinct/groupBy lineage (released after the loop)
+    nodes = nodes.persist()
+    outdeg = outdeg.persist()
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
-    for _ in range(int(iters)):
+    for it in range(int(iters)):
         contribs = (
             src.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -66,4 +71,14 @@ def pagerank_fixed_point(
             .cast("long")
             .alias("rank"),
         )
+        # truncate lineage each round (r6 verdict item 5): without
+        # this, the plan stacks one join+agg per iteration and compile
+        # time blows up at the 20-50 iterations a real
+        # frontier-prioritization run wants (same lazy-localCheckpoint
+        # truncation the wave loop's shard folds use). The LAST round
+        # checkpoints eagerly so the caches below can be released
+        # without forcing a later recompute of nodes/outdeg.
+        ranks = ranks.localCheckpoint(eager=it == int(iters) - 1)
+    nodes.unpersist()
+    outdeg.unpersist()
     return ranks

@@ -98,9 +98,13 @@ def cms_estimate(
         ])).alias("r"),
     ).select(token_col, "r.seed", "r.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        # LEFT join + coalesce-to-0 (ADVICE r6): a probed token with an
+        # absent (seed, bucket) counter must contribute 0 to the min —
+        # an inner join silently dropped never-seen tokens and
+        # overestimated tokens with only some counters present
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
         .groupBy(token_col)
-        .agg(F.min("c").alias("cms_n"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cms_n"))
     )
 
 

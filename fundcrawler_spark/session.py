@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan split size, parameterised (SPARK_GRAFT_MAX_PARTITION_BYTES).
+        # Local default 16m: the testdata tables are single parquet files
+        # under the stock 128m, so a 128m split serialises every scan
+        # stage onto ONE task (r7 measurement: the lineitem scan+project
+        # feeding retry_priority_admission ran 1-task; 16m opens it to
+        # the file's row-group count). On a real cluster set 128m-512m
+        # (guide §6.1: large sequential scans want fewer, bigger splits;
+        # a 100 TB scan at 128m is ~800k tasks).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:

@@ -437,3 +437,50 @@ def test_ann_queries_match_frozen_oracle_sf001(spark):
         assert sorted(sdf.columns) == sorted(odf.columns), name
         assert len(sdf) == len(odf), name
         assert norm(sdf) == norm(odf), name
+
+
+def test_brute_force_topk_matches_pairwise_cosine_scored(spark):
+    # r7: brute_force_topk streams the corpus once and scores against
+    # collected queries in-kernel; ranks must equal the old shape
+    # (crossJoin + per-pair cosine_scored) bit for bit
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        cosine_scored,
+    )
+    from fundcrawler_spark.operators.topk import grouped_topk
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 7)
+
+    got = sorted(
+        map(tuple, brute_force_topk(emb, queries, k=4).collect())
+    )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cosine_scored(
+        pairs, "qv", "cv", keep=[("neighbor_id", "bigint"), ("query_id", "bigint")]
+    )
+    want = sorted(
+        map(
+            tuple,
+            grouped_topk(
+                scored, ["query_id"], [F.col("sim").desc()], 4,
+                tiebreak=["neighbor_id"],
+            ).select("query_id", "neighbor_id", "rank").collect(),
+        )
+    )
+    assert got == want

@@ -76,3 +76,13 @@ def test_no_single_partition_exchange(spark):
     )
     assert "SinglePartition" not in plan
     assert "Cartesian" not in plan
+
+
+def test_twenty_iterations_bit_exact_and_bounded_plan(spark):
+    # r6 verdict item 5: per-iteration lineage truncation must keep a
+    # 20-iteration run compiling flat AND bit-exact vs the pure-Python
+    # replica (the truncation is a plan choice, not a value change)
+    edges = [((i * 7) % 25, (i * 13 + 3) % 25) for i in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _run(spark, edges, iters=20)
+    assert got == _py_pagerank(edges, 20)

@@ -739,3 +739,30 @@ def test_event_gap_audit_hand_case(spark):
     assert set(got) == {"a", "b"}
     assert (got["a"]["n_gaps"], got["a"]["min_gap_us"], got["a"]["n_violations"]) == (2, 500_000, 1)
     assert (got["b"]["n_gaps"], got["b"]["min_gap_us"], got["b"]["n_violations"]) == (2, 0, 1)
+
+
+def test_cms_estimate_unseen_token_reads_zero(spark):
+    # ADVICE r6: probing a token absent from the sketched stream must
+    # return the true CMS estimate (min over its counters, possibly 0),
+    # not silently vanish from the output
+    from pyspark.sql import functions as F
+
+    from fundcrawler_spark.operators.sketch import cms_estimate, cms_sketch
+
+    W = 64
+    stream = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 2, "token string"
+    )
+    sketch = cms_sketch(stream, width=W)
+    probes = spark.createDataFrame(
+        [("alpha",), ("never-seen-token-xyz",)], "token string"
+    )
+    est = {
+        r["token"]: r["cms_n"]
+        for r in cms_estimate(sketch, probes, width=W).collect()
+    }
+    assert est["alpha"] >= 5
+    assert "never-seen-token-xyz" in est
+    # with only 2 distinct sketched tokens in a 64-wide sketch, the
+    # unseen token keeps at least one untouched (absent) counter
+    assert est["never-seen-token-xyz"] == 0
