@@ -174,17 +174,40 @@ class Crawler:
         d = self._ckpt_dir(wave)
         if os.path.exists(d):
             shutil.rmtree(d)
-        frontier.write.parquet(os.path.join(d, "frontier"))
-        shards.write.parquet(os.path.join(d, "seen"))
+        # the four component writes touch disjoint paths and share no
+        # lineage dependency — overlap them (guide §2.6): serially they
+        # were ~4 x 0.5 s of driver-synchronous latency per checkpoint.
+        # Commit safety is unchanged: the _COMPLETE marker below is
+        # still written only after every write returned.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: frontier.write.parquet(os.path.join(d, "frontier")),
+            # shard blobs are few, fixed-count rows; n_shards write
+            # tasks produced n_shards near-empty files + footer-stat
+            # reads per checkpoint. 8 shards/file keeps bench
+            # checkpoints at a handful of files and the 1024-shard x
+            # ~10 MB design point at ~128 files of ~80 MB (guide §6).
+            # Layout only — resume re-reads and re-shuffles by shard id.
+            lambda: shards.coalesce(max(1, self.cfg.n_shards // 8)).write.parquet(
+                os.path.join(d, "seen")),
+        ]
         # the incomplete-seeds pool + exhausted-seed set ride the
         # checkpoint so resume is O(pool), not a full pages-table scan
         # (the pool is bounded by in-flight incomplete seeds; exhausted
         # by permanently-failed seeds)
         if incomplete is not None:
-            incomplete.select("seed_index", "page_type", "body").write.parquet(
-                os.path.join(d, "incomplete"))
+            writes.append(
+                lambda: incomplete.select("seed_index", "page_type", "body")
+                .write.parquet(os.path.join(d, "incomplete"))
+            )
         if exhausted is not None:
-            exhausted.write.parquet(os.path.join(d, "exhausted"))
+            writes.append(
+                lambda: exhausted.write.parquet(os.path.join(d, "exhausted"))
+            )
+        with ThreadPoolExecutor(max_workers=3) as ex_pool:
+            for fut in [ex_pool.submit(w) for w in writes]:
+                fut.result()
         meta = {
             "wave": wave,
             "order_offset": order_offset,
@@ -407,14 +430,13 @@ class Crawler:
             """Per-checkpoint-interval finalize: fold this interval's
             barrier pages into the incomplete-seeds pool, assemble +
             append results for seeds that just completed, evict them
-            from the pool; enrich ALL new page rows into the images
-            table. Snapshot alignment: runs inside flush_appends, i.e.
-            BEFORE _write_checkpoint records results/images snapshot
-            ids, so resume rolls all four tables back to the same
-            boundary (the pool is rebuilt from the pages table)."""
+            from the pool (the images enrich job runs in parallel from
+            flush_appends — it depends only on new_pages). Snapshot
+            alignment: runs inside flush_appends, i.e. BEFORE
+            _write_checkpoint records results/images snapshot ids, so
+            resume rolls all four tables back to the same boundary (the
+            pool is rebuilt from the pages table)."""
             nonlocal incomplete
-            from ..operators.multimodal import enrich_images
-            from ..operators.politeness import with_page_ordinal
 
             # barrier pages ONLY: discover-mode ANNOUNCE successes carry
             # the discovering seed's seed_index but are NOT one of the 4
@@ -451,7 +473,10 @@ class Crawler:
             t0 = time.time()
             flush_detail["flush_pool_mat_sec"] = round(t0 - t_mat, 3)
             results_new = assemble_results(pool, seeds)
-            self.results.append(results_new)
+            # interval-bounded rows; shrink from shuffle-partition count
+            # to pool-scale write tasks (same small-write rationale as
+            # the fetch_log flush)
+            self.results.append(results_new.coalesce(POOL_PARTITIONS))
             t0a = time.time()
             # seeds completing this interval (bounded) leave the pool
             done = (
@@ -466,14 +491,7 @@ class Crawler:
             t1 = time.time()
             flush_detail["flush_assemble_sec"] = round(t0a - t0, 3)
             flush_detail["flush_pool_evict_sec"] = round(t1 - t0a, 3)
-            raw = with_page_ordinal(new_pages).select(
-                F.concat_ws("_", F.lit("img"), "seed_index", "page_ordinal").alias("image_id"),
-                F.col("image_bytes").alias("bytes"),
-                "caption",
-            )
-            self.images.append(enrich_images(raw))
             flush_detail["flush_results_sec"] = round(t1 - t0, 3)
-            flush_detail["flush_images_sec"] = round(time.time() - t1, 3)
 
         def flush_appends() -> None:
             if pending_exhausted:
@@ -482,23 +500,67 @@ class Crawler:
                     ex = ex.unionByName(d)
                 note_exhausted(ex)
                 pending_exhausted.clear()
+            df_pages = None
             if pending_pages:
-                df = pending_pages[0]
+                df_pages = pending_pages[0]
                 for d in pending_pages[1:]:
-                    df = df.unionByName(d)
-                t0 = time.time()
-                self.pages.append(df)
-                flush_detail["flush_pages_sec"] = round(time.time() - t0, 3)
-                finalize_increment(df)
-                pending_pages.clear()
+                    df_pages = df_pages.unionByName(d)
+            df_logs = None
             if pending_logs:
-                df = pending_logs[0]
+                df_logs = pending_logs[0]
                 for d in pending_logs[1:]:
-                    df = df.unionByName(d)
+                    df_logs = df_logs.unionByName(d)
+                # telemetry rows are interval-bounded (waves x hosts x
+                # partition ids) but the union carries waves x
+                # shuffle-partitions mostly-empty partitions; 1 write
+                # task, 1 file
+                df_logs = df_logs.coalesce(1)
+
+            # the three append targets are DISTINCT tables reading from
+            # the same cached wave frames, so their jobs are independent
+            # — submit pages/fetch_log from a 2-thread pool while the
+            # main thread runs the finalize chain (guide §2.6: overlap
+            # independent jobs; the flush was a serial chain of ~8
+            # driver-synchronous sub-second jobs and its wall time was
+            # pure latency, not compute — r7 profile)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _append_pages():
                 t0 = time.time()
-                self.fetch_log.append(df)
+                self.pages.append(df_pages)
+                flush_detail["flush_pages_sec"] = round(time.time() - t0, 3)
+
+            def _append_logs():
+                t0 = time.time()
+                self.fetch_log.append(df_logs)
                 flush_detail["flush_logs_sec"] = round(time.time() - t0, 3)
-                pending_logs.clear()
+
+            def _append_images():
+                from ..operators.multimodal import enrich_images
+                from ..operators.politeness import with_page_ordinal
+
+                t0 = time.time()
+                raw = with_page_ordinal(df_pages).select(
+                    F.concat_ws("_", F.lit("img"), "seed_index", "page_ordinal").alias("image_id"),
+                    F.col("image_bytes").alias("bytes"),
+                    "caption",
+                )
+                self.images.append(enrich_images(raw))
+                flush_detail["flush_images_sec"] = round(time.time() - t0, 3)
+
+            with ThreadPoolExecutor(max_workers=3) as ex_pool:
+                futs = []
+                if df_pages is not None:
+                    futs.append(ex_pool.submit(_append_pages))
+                    futs.append(ex_pool.submit(_append_images))
+                if df_logs is not None:
+                    futs.append(ex_pool.submit(_append_logs))
+                if df_pages is not None:
+                    finalize_increment(df_pages)
+                for fut in futs:
+                    fut.result()
+            pending_pages.clear()
+            pending_logs.clear()
 
         def release_caches() -> None:
             # Only AFTER the durable checkpoint has written the seen
@@ -1026,7 +1088,13 @@ class Crawler:
                 t_f0 = time.time()
                 flush_appends()
                 t_f1 = time.time()
-                full = durable_frontier(active_next).repartition(cfg.n_salts, "url_hash")
+                # file-count-adaptive frontier write: ~50k rows/file
+                # instead of a fixed n_salts files (8k bench rows wrote
+                # 32 near-empty files); still hash-clustered by url_hash
+                n_front_now = sum(active_counts.values()) + sum(backlog_total.values())
+                full = durable_frontier(active_next).repartition(
+                    min(cfg.n_salts, max(1, -(-n_front_now // 50_000))), "url_hash"
+                )
                 settle_shards()
                 self._write_checkpoint(wave, full, shards, budgets, order_offset,
                                        incomplete=incomplete, exhausted=exhausted_all)
@@ -1060,7 +1128,17 @@ class Crawler:
                 # their plan chains until settle_shards() at the next
                 # read (even a lazy localCheckpoint compiles a physical
                 # plan per call — another ~1.2 s/wave of driver time).
-                active = active_next.repartition(cfg.n_salts, "url_hash").localCheckpoint(eager=False)
+                n_act = sum(active_counts.values())
+                active = active_next.repartition(
+                    # scale-adaptive: the active slice is control-plane
+                    # sized, and pinning it to n_salts partitions made
+                    # every steady-wave stage schedule n_salts
+                    # mostly-empty tasks (r7 A/B: 65.6 -> 79.2 pages/s
+                    # with 4x fewer); genuinely large waves still fan
+                    # out to the full n_salts
+                    min(cfg.n_salts, max(1, -(-n_act // COALESCE_ROWS_PER_TASK))),
+                    "url_hash",
+                ).localCheckpoint(eager=False)
             if cfg.wave_hook is not None:
                 t_end = time.time()
                 cfg.wave_hook({
@@ -1082,9 +1160,12 @@ class Crawler:
         flush_appends()
         if wave > 0 and self.latest_checkpoint() != wave - 1:
             settle_shards()
+            n_front_now = sum(active_counts.values()) + sum(backlog_total.values())
             self._write_checkpoint(
                 wave - 1,
-                durable_frontier(active).repartition(cfg.n_salts, "url_hash"),
+                durable_frontier(active).repartition(
+                    min(cfg.n_salts, max(1, -(-n_front_now // 50_000))), "url_hash"
+                ),
                 shards, budgets, order_offset,
                 incomplete=incomplete, exhausted=exhausted_all,
             )
