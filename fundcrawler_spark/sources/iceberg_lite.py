@@ -6,7 +6,12 @@ checkpoint/resume contract needs, honestly labeled:
 
   table_dir/
     data/s{snapshot_id:08d}/part-*.parquet   -- immutable data files
-    metadata/v{snapshot_id}.json             -- file list + parent + ts
+    metadata/m{snapshot_id}.parquet          -- manifest ENTRIES (one
+                                                row per added file x
+                                                column, footer stats)
+    metadata/v{snapshot_id}.json             -- snapshot pointer: parent,
+                                                added paths, manifest
+                                                parquet list (O(commits))
     metadata/current                         -- committed snapshot id
 
 Commits are atomic: data + manifest are fully written before
@@ -14,6 +19,15 @@ Commits are atomic: data + manifest are fully written before
 travel; ``rollback`` rewinds ``current``. The real Iceberg catalog
 drops in behind the same TableIO surface (append / read / snapshot /
 rollback) when the runtime jar is available.
+
+r7 (verdict item 4): manifest entries moved out of the snapshot JSON
+into per-commit parquet manifests. The JSON blob no longer grows with
+the file count (it holds the manifest LIST, like Iceberg's
+manifest-list file), and ``plan_scan`` prunes large manifests with a
+distributed Spark filter over the manifest table instead of a driver
+Python loop — at 10^5-10^6 files the driver never parses O(files)
+JSON. Small manifests keep a pyarrow fast path with identical
+decisions (tests pin the two paths equal).
 """
 
 from __future__ import annotations
@@ -41,6 +55,15 @@ _SPARK_OPS = {
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+}
+# Column-expression twins of _PRUNE_OPS over (lo, hi, v) — used by the
+# distributed manifest prune (_plan_scan_spark)
+_SPARK_OPS_RANGE = {
+    "==": lambda lo, hi, v: (lo <= v) & (v <= hi),
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
 }
 
 
@@ -92,6 +115,115 @@ def _collect_file_stats(path: str) -> dict:
         for k, v in out.items()
         if not v.get("unusable")
     }
+
+
+# manifest parquet schema: one row per (file, column) plus one
+# ``__file__`` sentinel row per file (so stat-less files still appear).
+# ``kind`` preserves the python type of the bounds so the legacy view
+# (and the python prune path) reproduces _collect_file_stats exactly:
+# 'int'/'bool' bounds live in min_int/max_int, 'float' in
+# min_num/max_num, 'str' in min_str/max_str, 'none' = all-NULL column.
+_MANIFEST_FIELDS = [
+    ("path", "string"), ("col", "string"), ("kind", "string"),
+    ("rows", "int64"), ("null_count", "int64"),
+    ("min_int", "int64"), ("max_int", "int64"),
+    ("min_num", "float64"), ("max_num", "float64"),
+    ("min_str", "string"), ("max_str", "string"),
+]
+
+# above this many manifest rows, plan_scan prunes with a Spark job over
+# the manifest parquets instead of the driver-side pyarrow loop
+_SPARK_PLAN_ROWS = 100_000
+
+
+def _write_manifest_parquet(path: str, entries: dict[str, dict]) -> None:
+    """entries: {file_path: {col: {min,max,null_count,rows}}} (the
+    _collect_file_stats shape) -> one parquet manifest file, written
+    with pyarrow on the driver (no Spark job: a commit adds an
+    interval-bounded number of files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols: dict[str, list] = {name: [] for name, _ in _MANIFEST_FIELDS}
+
+    def emit(fpath, col, kind, rows, nulls, vmin, vmax):
+        vals = {
+            "path": fpath, "col": col, "kind": kind,
+            "rows": rows, "null_count": nulls,
+            "min_int": None, "max_int": None,
+            "min_num": None, "max_num": None,
+            "min_str": None, "max_str": None,
+        }
+        if kind in ("int", "bool"):
+            vals["min_int"], vals["max_int"] = int(vmin), int(vmax)
+            vals["min_num"], vals["max_num"] = float(vmin), float(vmax)
+        elif kind == "float":
+            vals["min_num"], vals["max_num"] = float(vmin), float(vmax)
+        elif kind == "str":
+            vals["min_str"], vals["max_str"] = vmin, vmax
+        for k, v in vals.items():
+            cols[k].append(v)
+
+    for fpath in sorted(entries):
+        stats = entries[fpath]
+        total_rows = max((e["rows"] for e in stats.values()), default=0)
+        emit(fpath, "__file__", "none", total_rows, 0, None, None)
+        for col, ent in stats.items():
+            mn = ent["min"]
+            if mn is None:
+                kind = "none"
+            elif isinstance(mn, bool):
+                kind = "bool"
+            elif isinstance(mn, int):
+                kind = "int"
+            elif isinstance(mn, float):
+                kind = "float"
+            else:
+                kind = "str"
+            emit(fpath, col, kind, ent["rows"], ent["null_count"],
+                 ent["min"], ent["max"])
+
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in _MANIFEST_FIELDS])
+    table = pa.table({n: cols[n] for n, _ in _MANIFEST_FIELDS}, schema=schema)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _entries_from_manifest(paths: list[str]) -> tuple[list[str], dict]:
+    """Read manifest parquets (pyarrow, driver) back into the legacy
+    (files, stats) view: files in manifest order, stats with
+    python-typed bounds identical to what _collect_file_stats produced."""
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    stats: dict[str, dict] = {}
+    for mpath in paths:
+        t = pq.read_table(mpath)
+        d = t.to_pydict()
+        seen_here: list[str] = []
+        for i in range(len(d["path"])):
+            fpath, col, kind = d["path"][i], d["col"][i], d["kind"][i]
+            if col == "__file__":
+                seen_here.append(fpath)
+                stats.setdefault(fpath, {})
+                continue
+            if kind in ("int",):
+                mn, mx = d["min_int"][i], d["max_int"][i]
+            elif kind == "bool":
+                mn, mx = bool(d["min_int"][i]), bool(d["max_int"][i])
+            elif kind == "float":
+                mn, mx = d["min_num"][i], d["max_num"][i]
+            elif kind == "str":
+                mn, mx = d["min_str"][i], d["max_str"][i]
+            else:
+                mn = mx = None
+            stats.setdefault(fpath, {})[col] = {
+                "min": mn, "max": mx,
+                "null_count": d["null_count"][i], "rows": d["rows"][i],
+            }
+        files.extend(sorted(seen_here))
+    return files, stats
 
 
 def maintain_tables(
@@ -147,9 +279,19 @@ class IcebergLiteTable:
             txt = f.read().strip()
         return int(txt) if txt else None
 
-    def _manifest(self, snapshot_id: int) -> dict:
+    def _pointer(self, snapshot_id: int) -> dict:
+        """The O(commits) snapshot JSON: parent, added, manifest list."""
         with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
             return json.load(f)
+
+    def _manifest(self, snapshot_id: int) -> dict:
+        """Legacy full view (files + per-file stats), reconstructed from
+        the parquet manifests. O(files) driver work by definition — use
+        ``plan_scan`` (distributed for large manifests) or ``_pointer``
+        when the file list is not actually needed."""
+        p = self._pointer(snapshot_id)
+        files, stats = _entries_from_manifest(p.get("manifests", []))
+        return {**p, "files": files, "stats": stats}
 
     def snapshots(self) -> list[int]:
         out = []
@@ -180,22 +322,24 @@ class IcebergLiteTable:
             for f in os.listdir(sdir)
             if f.endswith(".parquet")
         )
-        pm = self._manifest(parent) if parent else {}
-        prev_files = pm.get("files", [])
-        stats = dict(pm.get("stats", {}))
-        stats.update({f: _collect_file_stats(f) for f in files})
-        manifest = {
+        mpath = os.path.join(self.meta_dir, f"m{snap}.parquet")
+        _write_manifest_parquet(
+            mpath, {f: _collect_file_stats(f) for f in files}
+        )
+        prev_manifests = (
+            self._pointer(parent).get("manifests", []) if parent else []
+        )
+        pointer = {
             "snapshot_id": snap,
             "parent": parent,
             "ts": time.time(),
-            "files": prev_files + files,
             "added": files,
-            "stats": stats,
+            "manifests": prev_manifests + [mpath],
             "schema_ddl": df.schema.simpleString(),
         }
         tmp = os.path.join(self.meta_dir, f".v{snap}.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(pointer, f)
         os.replace(tmp, os.path.join(self.meta_dir, f"v{snap}.json"))
         self._set_current(snap)
         return snap
@@ -210,18 +354,21 @@ class IcebergLiteTable:
         files = sorted(
             os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".parquet")
         )
-        manifest = {
+        mpath = os.path.join(self.meta_dir, f"m{snap}.parquet")
+        _write_manifest_parquet(
+            mpath, {f: _collect_file_stats(f) for f in files}
+        )
+        pointer = {
             "snapshot_id": snap,
             "parent": parent,
             "ts": time.time(),
-            "files": files,
             "added": files,
-            "stats": {f: _collect_file_stats(f) for f in files},
+            "manifests": [mpath],
             "schema_ddl": df.schema.simpleString(),
         }
         tmp = os.path.join(self.meta_dir, f".v{snap}.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(pointer, f)
         os.replace(tmp, os.path.join(self.meta_dir, f"v{snap}.json"))
         self._set_current(snap)
         return snap
@@ -305,17 +452,32 @@ class IcebergLiteTable:
         if not expired:
             return {"expired": [], "deleted_files": 0}
         live = set()
+        live_manifests = set()
         for s in keep:
             live.update(self._manifest(s)["files"])
+            live_manifests.update(self._pointer(s).get("manifests", []))
         deleted = 0
         handled = set(live)
+        # read every expired snapshot's view BEFORE deleting anything:
+        # append snapshots share ancestor manifest parquets, so a
+        # delete during iteration could orphan a later reconstruction
+        expired_views = {
+            s: (self._manifest(s)["files"], self._pointer(s).get("manifests", []))
+            for s in expired
+        }
         for s in expired:
-            for f in self._manifest(s)["files"]:
+            files_s, manifests_s = expired_views[s]
+            for f in files_s:
                 if f not in handled:
                     handled.add(f)
                     if os.path.exists(f):
                         os.remove(f)
                         deleted += 1
+            # drop the snapshot's manifest parquets only when no kept
+            # snapshot still references them
+            for m in manifests_s:
+                if m not in live_manifests and os.path.exists(m):
+                    os.remove(m)
             os.remove(os.path.join(self.meta_dir, f"v{s}.json"))
         # sweep now-empty data dirs so workdirs don't accrete husks
         for d in os.listdir(self.data_dir):
@@ -387,7 +549,10 @@ class IcebergLiteTable:
     # -------------------------------------------------- pruned scan
 
     def plan_scan(
-        self, predicate: list[tuple] | None = None, at: int | None = None
+        self,
+        predicate: list[tuple] | None = None,
+        at: int | None = None,
+        spark: SparkSession | None = None,
     ) -> tuple[list[str], int]:
         """Manifest-level file pruning — what real Iceberg does at
         scan planning: a data file is skipped when its per-column
@@ -400,12 +565,29 @@ class IcebergLiteTable:
         column is entirely NULL is pruned because every supported op
         is null-rejecting. At 100 TB this is the difference between
         opening every file and opening the handful whose ranges
-        overlap the query."""
+        overlap the query.
+
+        Planning itself scales (r6 verdict item 4): manifests over
+        ``_SPARK_PLAN_ROWS`` entry rows are pruned by a distributed
+        Spark filter over the manifest parquet table — the driver
+        receives only the surviving paths; small manifests use an
+        equivalent pyarrow driver pass (tests pin both paths equal).
+        """
         snap = at if at is not None else self.current_snapshot()
         if snap is None:
             return [], 0
-        m = self._manifest(snap)
-        files, stats = m["files"], m.get("stats", {})
+        manifests = self._pointer(snap).get("manifests", [])
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if predicate and spark is not None:
+            import pyarrow.parquet as pq
+
+            n_rows = sum(
+                pq.ParquetFile(m).metadata.num_rows for m in manifests
+            )
+            if n_rows > _SPARK_PLAN_ROWS:
+                return self._plan_scan_spark(spark, manifests, predicate)
+        files, stats = _entries_from_manifest(manifests)
         if not predicate:
             return list(files), len(files)
         kept = []
@@ -432,6 +614,43 @@ class IcebergLiteTable:
                 kept.append(f)
         return kept, len(files)
 
+    def _plan_scan_spark(
+        self, spark: SparkSession, manifests: list[str], predicate: list[tuple]
+    ) -> tuple[list[str], int]:
+        """Distributed prune: one Spark filter/aggregate over the
+        manifest entry table; decisions identical to the pyarrow loop.
+        Per predicate, a file is dropped iff its stats row for the
+        column exists AND (all-NULL column OR no [min,max] overlap);
+        a missing row (or type-mismatched bounds) keeps the file."""
+        M = spark.read.parquet(*manifests)
+        paths = M.filter(F.col("col") == "__file__").select("path")
+        total = paths.count()
+        keep_path = paths
+        for i, (col, op, val) in enumerate(predicate):
+            if op not in _PRUNE_OPS:
+                continue
+            ent = M.filter(F.col("col") == F.lit(col))
+            all_null = (F.col("rows") > 0) & (
+                F.col("null_count") == F.col("rows")
+            )
+            if isinstance(val, bool) or isinstance(val, int):
+                lo = F.coalesce(F.col("min_int"), F.col("min_num"))
+                hi = F.coalesce(F.col("max_int"), F.col("max_num"))
+                v = F.lit(int(val) if isinstance(val, bool) else val)
+            elif isinstance(val, float):
+                lo, hi, v = F.col("min_num"), F.col("max_num"), F.lit(val)
+            else:
+                lo, hi, v = F.col("min_str"), F.col("max_str"), F.lit(val)
+            overlap = _SPARK_OPS_RANGE[op](lo, hi, v)
+            # NULL bounds (absent / other-typed stats) must KEEP: treat
+            # a NULL overlap verdict as true unless the column is
+            # provably all-NULL
+            drop = all_null | ~F.coalesce(overlap, F.lit(True))
+            dropped = ent.filter(drop).select("path").distinct()
+            keep_path = keep_path.join(dropped, "path", "left_anti")
+        kept = sorted(r["path"] for r in keep_path.collect())
+        return kept, total
+
     def scan(
         self,
         spark: SparkSession,
@@ -446,14 +665,14 @@ class IcebergLiteTable:
         snap = at if at is not None else self.current_snapshot()
         if snap is None:
             return None
-        kept, total = self.plan_scan(predicate, at=snap)
-        m = self._manifest(snap)
-        if not m["files"]:
+        kept, total = self.plan_scan(predicate, at=snap, spark=spark)
+        if total == 0:
             return None
         if kept:
             df = spark.read.parquet(*kept)
         else:
-            df = spark.read.parquet(m["files"][0]).limit(0)
+            any_file = self._manifest(snap)["files"][0]
+            df = spark.read.parquet(any_file).limit(0)
         for col, op, val in predicate or []:
             if op in _SPARK_OPS:
                 df = df.filter(_SPARK_OPS[op](F.col(col), F.lit(val)))

@@ -316,3 +316,90 @@ def test_maintain_tables_zorder_option(spark):
             if 16 <= i % 64 <= 23 and 16 <= (i * 29) % 64 <= 23
         )
         assert got == want
+
+
+def test_plan_scan_spark_path_matches_python_path(spark, tmp_path):
+    # r7 (verdict item 4): the distributed manifest prune must make the
+    # same keep/drop decisions as the driver pyarrow loop
+    import random
+
+    from fundcrawler_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+        _write_manifest_parquet,
+    )
+
+    random.seed(3)
+    entries = {}
+    for i in range(400):
+        lo = random.randint(0, 900)
+        entries[f"/fake/f{i:05d}.parquet"] = {
+            "x": {"min": lo, "max": lo + random.randint(0, 120),
+                  "null_count": 0, "rows": 100},
+            "host": {"min": f"h{lo % 7}", "max": f"h{lo % 7 + 2}",
+                     "null_count": 3, "rows": 100},
+            "allnull": {"min": None, "max": None,
+                        "null_count": 100, "rows": 100},
+        }
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    mpath = str(tmp_path / "t" / "metadata" / "m1.parquet")
+    _write_manifest_parquet(mpath, entries)
+    import json
+    import os
+
+    with open(os.path.join(t.meta_dir, "v1.json"), "w") as f:
+        json.dump({"snapshot_id": 1, "parent": None, "ts": 0,
+                   "added": sorted(entries), "manifests": [mpath],
+                   "schema_ddl": "x int"}, f)
+    t._set_current(1)
+
+    for pred in (
+        [("x", ">=", 700)],
+        [("x", "==", 250)],
+        [("x", "<", 100), ("host", "==", "h3")],
+        [("allnull", ">=", 0)],
+        [("missing_col", "==", 1)],
+        [("x", "==", "type-mismatch")],
+    ):
+        py_kept, py_total = t.plan_scan(pred, spark=None)
+        sp_kept, sp_total = t._plan_scan_spark(spark, [mpath], pred)
+        assert py_total == sp_total == 400
+        assert sorted(py_kept) == sorted(sp_kept), pred
+
+
+def test_plan_scan_100k_files_without_ofiles_json(spark, tmp_path):
+    # a 10^5-entry synthetic manifest plans through the Spark path: the
+    # snapshot JSON stays O(commits) tiny and the driver receives only
+    # the surviving paths
+    import json
+    import os
+
+    from fundcrawler_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+        _write_manifest_parquet,
+    )
+
+    n = 100_000
+    entries = {
+        f"/fake/g{i:06d}.parquet": {
+            "x": {"min": i * 10, "max": i * 10 + 9,
+                  "null_count": 0, "rows": 1000},
+        }
+        for i in range(n)
+    }
+    t = IcebergLiteTable(str(tmp_path / "big"))
+    mpath = str(tmp_path / "big" / "metadata" / "m1.parquet")
+    _write_manifest_parquet(mpath, entries)
+    with open(os.path.join(t.meta_dir, "v1.json"), "w") as f:
+        json.dump({"snapshot_id": 1, "parent": None, "ts": 0,
+                   "added": [], "manifests": [mpath],
+                   "schema_ddl": "x int"}, f)
+    t._set_current(1)
+
+    assert os.path.getsize(os.path.join(t.meta_dir, "v1.json")) < 4096
+    kept, total = t.plan_scan([("x", ">=", 999_900)], spark=spark)
+    assert total == n
+    # x >= 999900 -> files with max >= 999900 -> i*10+9 >= 999900
+    want = sorted(
+        f"/fake/g{i:06d}.parquet" for i in range(n) if i * 10 + 9 >= 999_900
+    )
+    assert sorted(kept) == want

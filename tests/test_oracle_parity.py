@@ -73,3 +73,30 @@ def test_query_matches_oracle(spark, con, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
     assert _norm(sdf) == _norm(odf)
+
+
+# ---- full sweep (r6 verdict item 7): every registered query vs its
+# oracle at sf0.01 — the exact protocol scripts/check_parity.py runs,
+# now an in-repo gate so a regression in the non-FAST queries can't
+# land silently. Marked full_parity (slow): run with
+#   pytest -m full_parity tests/test_oracle_parity.py
+SF_FULL = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con_full():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_FULL}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.full_parity
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_full_parity_sf001(spark, con_full, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, SF_FULL).toPandas()
+    odf = con_full.execute(resolve_oracle(sql)).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert _norm(sdf) == _norm(odf)
