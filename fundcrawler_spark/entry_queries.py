@@ -1235,7 +1235,11 @@ FROM hs
 
 @register("simhash", f"WITH {_SIMHASH_CTES_SQL}{_SIMHASH_SELECT_SQL}")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # interpreted HOF chain per row over a single-row-group file: run
+    # it at full parallelism (see q_quality_score)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
 
 
@@ -1460,7 +1464,11 @@ def _bpe_oracle_sql() -> str:
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import bpe_ish_token_count
 
-    d = _t(spark, sf_dir, "documents")
+    # heavy regex-split cascade over a single-row-group file: run it
+    # at full parallelism (see q_quality_score)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"))
 
 

@@ -691,6 +691,11 @@ def simhash_pairs(
     """SimHash near-dup pairs: 32-bit simhash, block on 4x 8-bit chunks
     (pigeonhole: hamming<=3 pairs share at least one exact chunk), then
     verify hamming distance."""
+    # the simhash32 HOF chain is the heavy map stage — spread it over
+    # the session parallelism before computing (single-file inputs
+    # otherwise run it on 1-2 scan tasks; same guard _minhash_kernel
+    # carries)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sh = docs.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("h"))
     chunks = sh.select(
         "id",
