@@ -848,10 +848,17 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def q_seen_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit two-phase distinct: countDistinct plans an Expand that
+    # doubles every input row before the partial aggregate (one copy
+    # per aggregate); grouping by (flag, partkey) first feeds the
+    # partial agg the raw rows once and shuffles only the distinct
+    # pairs — same results (r7 A/B equal; slightly faster here, and
+    # the Expand multiplier is what hurts at 100x)
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_distinct"),
-        F.count("*").alias("n_rows"),
+    g1 = li.groupBy("l_returnflag", "l_partkey").agg(F.count("*").alias("c"))
+    return g1.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("c").alias("n_rows"),
     )
 
 
