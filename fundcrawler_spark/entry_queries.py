@@ -230,9 +230,11 @@ def _overview_body_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders scan is a single sub-maxPartitionBytes file (1 task), and
     # exchanging o_orderkey costs ~1/40th of exchanging built bodies —
     # body construction and the downstream parse kernel then both run
-    # at full parallelism (guide §2.3: project before the exchange)
+    # at full parallelism (guide §2.3: project before the exchange).
+    # Hash by the unique key, not round-robin: keyless repartition
+    # first sorts its input locally (sortBeforeRepartition, guide §2.5)
     o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "o_orderkey"
     )
     k = F.col("o_orderkey")
     typ = (
@@ -322,7 +324,7 @@ FROM bodies
 )
 def q_regex_metrics_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "o_orderkey"
     )  # 1-file scan -> full parallelism for body build + parse kernel
     k = F.col("o_orderkey")
     sd = F.when(k % 7 == 0, F.lit("--")).otherwise(
@@ -382,7 +384,7 @@ def q_regex_increase_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.parse import percent_to_double
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "o_orderkey"
     )  # 1-file scan -> full parallelism for body build + parse kernel
     k = F.col("o_orderkey")
     v3 = k % 200 - 50
@@ -443,7 +445,7 @@ def q_regex_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.parse import parse_manager
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "o_orderkey"
     )  # 1-file scan -> full parallelism for body build + parse kernel
     k = F.col("o_orderkey")
     mgr = (
@@ -767,8 +769,11 @@ def q_retry_priority_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") % 4).cast("int").alias("page_ordinal"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
     )
-    # round-robin the slim projection first (the lineitem file yields
-    # only row-group-many scan tasks), then a SINGLE window: on Spark
+    # hash the slim projection by its unique uid first (the lineitem
+    # file yields only row-group-many scan tasks; hashing a unique key
+    # spreads like round-robin but skips round-robin's mandatory local
+    # pre-sort — sortBeforeRepartition, guide §2.5 — r7 A/B at sf1.0:
+    # med 2.16 s round-robin vs 1.37 s hash), then a SINGLE window: on Spark
     # 3.5+/4 the planner inserts a map-side partial WindowGroupLimit
     # before the exchange, so each task forwards <= 12 rows per host and
     # the per-host reducer input is bounded at 12 x map-tasks of slim
@@ -776,7 +781,7 @@ def q_retry_priority_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an extra exchange+sort for it (r7 A/B: salted 3.4-6.7 s, single
     # 2.6 s at sf1.0). Rank values are identical (plan choice, not
     # semantics — operators/topk.py salted=False contract).
-    fr = fr.repartition(spark.sparkContext.defaultParallelism)
+    fr = fr.repartition(spark.sparkContext.defaultParallelism, "uid")
     ranked = grouped_topk(
         fr,
         ["host"],
@@ -1111,7 +1116,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r7; the shuffle moves ~15 MB of text, the map stage then runs at
     # full parallelism)
     d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     feats = quality_features(F.col("text"))
     return d.select(
@@ -1157,7 +1162,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group file -> repartition so the 12-marker replace
     # cascade runs parallel, not on one scan task (see q_quality_score)
     d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
 
@@ -1245,7 +1250,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted HOF chain per row over a single-row-group file: run
     # it at full parallelism (see q_quality_score)
     d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
 
@@ -1474,7 +1479,7 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heavy regex-split cascade over a single-row-group file: run it
     # at full parallelism (see q_quality_score)
     d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"))
 

@@ -434,8 +434,11 @@ def _minhash_kernel(
     return (
         docs.select(F.col(id_col), F.col(text_col))
         # explicit repartition: AQE coalesces by byte size and would run
-        # the python-compute kernel on 1-2 partitions otherwise
-        .repartition(spark.sparkContext.defaultParallelism)
+        # the python-compute kernel on 1-2 partitions otherwise. Hash by
+        # the unique id (not round-robin): keyless repartition pays a
+        # local sort of every row first (sortBeforeRepartition, guide
+        # §2.5); hashing a unique key spreads identically without it
+        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
         .mapInPandas(kernel, out_schema)
         .withColumn("n_sh", F.size("sh"))
     )
@@ -700,7 +703,9 @@ def simhash_pairs(
     # the session parallelism before computing (single-file inputs
     # otherwise run it on 1-2 scan tasks; same guard _minhash_kernel
     # carries)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     sh = docs.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("h"))
     chunks = sh.select(
         "id",

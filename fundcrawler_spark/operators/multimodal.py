@@ -71,7 +71,7 @@ def enrich_images(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     return (
         df.select(*in_cols)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "image_id")
         .mapInPandas(kernel, IMAGES_SCHEMA)
     )
 
@@ -167,7 +167,7 @@ def resize_images(df: DataFrame, max_side: int) -> DataFrame:
     spark = df.sparkSession
     return (
         df.select("image_id", "bytes")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "image_id")
         .mapInPandas(
             kernel,
             "image_id string, bytes binary, w int, h int, fmt string",
@@ -232,7 +232,7 @@ def sample_video_frames(df: DataFrame, every_k: int) -> DataFrame:
     spark = df.sparkSession
     return (
         df.select("video_id", "bytes")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "video_id")
         .mapInPandas(
             kernel,
             "video_id string, frame_index int, w int, h int, phash long",
@@ -272,7 +272,7 @@ def audio_features(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     return (
         df.select("audio_id", "bytes")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "audio_id")
         .mapInPandas(
             kernel,
             "audio_id string, sample_rate int, n_samples int, "
@@ -317,7 +317,7 @@ def blur_scores(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     return (
         df.select("image_id", "bytes")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "image_id")
         .mapInPandas(
             kernel, "image_id string, w int, h int, blur_var double"
         )
@@ -377,7 +377,7 @@ def dhash_images(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     return (
         df.select("image_id", "bytes")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "image_id")
         .mapInPandas(
             kernel, "image_id string, w int, h int, dhash long"
         )

@@ -128,7 +128,7 @@ def brute_force_topk(
 
     spark = corpus.sparkSession
     scored = (
-        c.repartition(spark.sparkContext.defaultParallelism)
+        c.repartition(spark.sparkContext.defaultParallelism, "neighbor_id")
         .mapInPandas(kernel, f"neighbor_id {id_t}, query_id {id_t}, sim double")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
@@ -198,7 +198,7 @@ def _lsh_buckets(
     spark = df.sparkSession
     return (
         df.select(F.col(id_col), F.col(vec_col))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
         .mapInPandas(kernel, f"{out_id} long, v array<double>, buckets array<long>")
     )
 
@@ -313,7 +313,7 @@ def _assign_cells(df: DataFrame, id_col: str, out_id: str, vec_col: str,
     spark = df.sparkSession
     return (
         df.select(F.col(id_col), F.col(vec_col))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
         .mapInPandas(kernel, f"{out_id} long, v array<double>, cells array<int>")
     )
 

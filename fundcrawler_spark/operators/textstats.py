@@ -213,7 +213,7 @@ def doc_fingerprint_kernel(docs: DataFrame, id_col: str = "doc_id",
     spark = docs.sparkSession
     return (
         docs.select(F.col(id_col), F.col(text_col))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
         .mapInPandas(kernel, f"{id_col} long, fp long")
     )
 
@@ -268,7 +268,7 @@ def minhash_signature_kernel(docs: DataFrame, n_hashes: int = 16,
     spark = docs.sparkSession
     return (
         docs.select(F.col(id_col), F.col(text_col))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
         .mapInPandas(kernel, f"{id_col} long, sig array<long>")
     )
 
