@@ -603,7 +603,14 @@ HAVING count(DISTINCT page_type) = 4
 """,
 )
 def q_barrier_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # spread the 8-byte key so the partial pivot agg (string max per
+    # ctx x type over every row) runs at full parallelism instead of
+    # row-group-many scan tasks; hash-keyed, so no round-robin pre-sort
+    # (r7 A/B at sf1.0: med 1.22 -> 1.08 s; an earlier round-robin
+    # variant measured WORSE — the pre-sort ate the parallelism win)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey"
+    )
     k = F.col("o_orderkey")
     pages = (
         o.filter(k % 11 != 0)
@@ -858,8 +865,18 @@ def q_seen_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per aggregate); grouping by (flag, partkey) first feeds the
     # partial agg the raw rows once and shuffles only the distinct
     # pairs — same results (r7 A/B equal; slightly faster here, and
-    # the Expand multiplier is what hurts at 100x)
-    li = _t(spark, sf_dir, "lineitem")
+    # the Expand multiplier is what hurts at 100x).
+    # Hash-repartition the slim pair projection on the group keys first:
+    # the lineitem file opens as only row-group-many scan tasks, so the
+    # partial agg's 600k-entry hash table otherwise builds on ~6 tasks;
+    # the keyed exchange matches the groupBy partitioning (no second
+    # exchange) and the agg runs at full parallelism (r7 A/B at sf1.0:
+    # med 1.15 -> 0.74 s, outputs equal)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "l_returnflag", "l_partkey"
+    )
     g1 = li.groupBy("l_returnflag", "l_partkey").agg(F.count("*").alias("c"))
     return g1.groupBy("l_returnflag").agg(
         F.count("*").alias("n_distinct"),

@@ -50,6 +50,28 @@ def test_flagship_stays_codegen(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_parallelism_repartitions_are_hash_keyed(spark):
+    """Plan guard for the r7 repartition-key change: the
+    spread-for-parallel-map exchanges hash a unique row key instead of
+    round-robin, because every keyless repartition(n) first sorts its
+    input locally (spark.sql.execution.sortBeforeRepartition) — pure
+    overhead on these paths. A RoundRobinPartitioning reappearing in a
+    headline plan means the pre-sort snuck back in."""
+    from fundcrawler_spark.entry_queries import QUERIES
+
+    for name, key in [
+        ("retry_priority_admission", "uid"),
+        ("regex_overview", "o_orderkey"),
+        ("barrier_pivot", "o_orderkey"),
+        ("quality_score", "doc_id"),
+        ("seen_cardinality", "l_returnflag"),
+    ]:
+        fn, _ = QUERIES[name]
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan, name
+        assert f"hashpartitioning({key}" in plan, (name, plan[:2000])
+
+
 def test_neardup_and_similarity_plans_never_cartesian(spark):
     """Scale guard: the LSH/near-dup pipelines must candidate-generate
     via equi-joins on band/bucket/cell keys — a CartesianProduct (or
