@@ -724,14 +724,29 @@ def simhash_pairs(
             ])
         ).alias("ck"),
     ).select("id", "h", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+    cand = _bucket_pairs(chunks)
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _bucket_pairs(chunks: DataFrame) -> DataFrame:
+    """(id, h, chunk, val) -> distinct (id_a, id_b, h_a, h_b) pairs
+    sharing a (chunk, val) bucket. Bucket-grouped pair expansion (one
+    groupBy exchange + in-bucket explode) instead of a self-join on the
+    bucket key, which shuffles the chunk frame twice with no exchange
+    reuse — the same rewrite minhash_lsh_pairs carries (r7 A/B there:
+    med 1.30 -> 0.86 s at sf1.0; pair sets identical by construction)."""
+    buckets = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.collect_list(F.struct("id", "h")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    return (
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -739,10 +754,6 @@ def simhash_pairs(
             F.col("b.h").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
     )
 
 
@@ -779,22 +790,7 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     n_chunks = max_hamming + 1
     assert 1 <= n_chunks <= 64, max_hamming
     chunks = _phash_chunk_frame(images, n_chunks)
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.h").alias("h_a"),
-            F.col("b.h").alias("h_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _bucket_pairs(chunks)
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
