@@ -603,14 +603,14 @@ HAVING count(DISTINCT page_type) = 4
 """,
 )
 def q_barrier_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread the 8-byte key so the partial pivot agg (string max per
-    # ctx x type over every row) runs at full parallelism instead of
-    # row-group-many scan tasks; hash-keyed, so no round-robin pre-sort
-    # (r7 A/B at sf1.0: med 1.22 -> 1.08 s; an earlier round-robin
-    # variant measured WORSE — the pre-sort ate the parallelism win)
-    o = _t(spark, sf_dir, "orders").select("o_orderkey").repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
-    )
+    # deliberately NO pre-repartition (unlike the regex family): the
+    # partial pivot agg reduces every scan task to <= 997 x 4 rows
+    # before the one exchange, so parallelizing the map side buys
+    # little — r7 A/Bs: hash-keyed repartition med 1.22 -> 1.08 s at
+    # sf1.0 (marginal) but 0.61 -> 0.96 s at sf0.1 (the exchange
+    # overhead dominates the small scan); the round-robin variant lost
+    # at both scales
+    o = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     pages = (
         o.filter(k % 11 != 0)

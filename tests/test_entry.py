@@ -62,7 +62,6 @@ def test_parallelism_repartitions_are_hash_keyed(spark):
     for name, key in [
         ("retry_priority_admission", "uid"),
         ("regex_overview", "o_orderkey"),
-        ("barrier_pivot", "o_orderkey"),
         ("quality_score", "doc_id"),
         ("seen_cardinality", "l_returnflag"),
     ]:
