@@ -498,26 +498,38 @@ class Crawler:
             pool = pool.repartition(POOL_PARTITIONS, "seed_index").localCheckpoint()
             t0 = time.time()
             flush_detail["flush_pool_mat_sec"] = round(t0 - t_mat, 3)
-            results_new = assemble_results(pool, seeds)
-            # interval-bounded rows; shrink from shuffle-partition count
-            # to pool-scale write tasks (same small-write rationale as
-            # the fetch_log flush)
-            self.results.append(results_new.coalesce(POOL_PARTITIONS))
-            t0a = time.time()
-            # seeds completing this interval (bounded) leave the pool
-            done = (
-                pool.groupBy("seed_index")
-                .agg(F.count_distinct("page_type").alias("npt"))
-                .filter(F.col("npt") == len(PAGE_TYPES))
-                .select("seed_index")
-            )
-            incomplete = pool.join(
-                F.broadcast(done), "seed_index", "left_anti"
-            ).localCheckpoint()
-            t1 = time.time()
-            flush_detail["flush_assemble_sec"] = round(t0a - t0, 3)
-            flush_detail["flush_pool_evict_sec"] = round(t1 - t0a, 3)
-            flush_detail["flush_results_sec"] = round(t1 - t0, 3)
+
+            # the results append and the pool eviction both read ONLY
+            # the materialized pool (plus the static seeds / the done
+            # agg) and write disjoint targets (results table vs the
+            # driver's `incomplete` ref) — overlap them (guide §2.6);
+            # serially they were two back-to-back sub-second
+            # driver-synchronous chains per flush
+            def _append_results() -> None:
+                results_new = assemble_results(pool, seeds)
+                # interval-bounded rows; shrink from shuffle-partition
+                # count to pool-scale write tasks (same small-write
+                # rationale as the fetch_log flush)
+                self.results.append(results_new.coalesce(POOL_PARTITIONS))
+                flush_detail["flush_assemble_sec"] = round(time.time() - t0, 3)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as res_pool:
+                fut_res = res_pool.submit(_append_results)
+                # seeds completing this interval (bounded) leave the pool
+                done = (
+                    pool.groupBy("seed_index")
+                    .agg(F.count_distinct("page_type").alias("npt"))
+                    .filter(F.col("npt") == len(PAGE_TYPES))
+                    .select("seed_index")
+                )
+                incomplete = pool.join(
+                    F.broadcast(done), "seed_index", "left_anti"
+                ).localCheckpoint()
+                flush_detail["flush_pool_evict_sec"] = round(time.time() - t0, 3)
+                fut_res.result()
+            flush_detail["flush_results_sec"] = round(time.time() - t0, 3)
 
         def flush_appends() -> None:
             if pending_exhausted:
